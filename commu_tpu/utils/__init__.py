@@ -1,0 +1,4 @@
+from .constants import *  # noqa: F401,F403
+from .containers import MidiInfo, MidiMeta  # noqa: F401
+from .exceptions import CommuError, ErrorMessage, UnprocessableMidiError  # noqa: F401
+from .chords import sync_key_augment  # noqa: F401

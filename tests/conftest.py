@@ -1,0 +1,72 @@
+"""Test harness config.
+
+Tests run on CPU with a virtual 8-device mesh so multi-chip sharding logic can
+be exercised without TPU hardware (the TPU-native analog of a fake backend).
+Must set env vars before jax initializes.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# The reference implementation (for differential tests). Optional: tests that
+# use it must skip gracefully when it is absent or its deps are missing.
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def add_reference_to_path():
+    """Make the reference importable for differential tests.
+
+    The reference's package __init__ chain imports MIDI libraries that are not
+    installed here (miditoolkit, pretty_midi, parmap, music21). Inject inert
+    stub modules so the pure-Python modules we diff against (event_tokens,
+    meta, encoder_utils' token tables, model) can load. Stubbed functionality
+    is never *called* by the differential tests.
+    """
+    import types
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    for name in ("miditoolkit", "pretty_midi", "parmap"):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.__stub__ = True
+            if name == "miditoolkit":
+                midi_mod = types.ModuleType("miditoolkit.midi")
+                parser_mod = types.ModuleType("miditoolkit.midi.parser")
+                containers_mod = types.ModuleType("miditoolkit.midi.containers")
+
+                class _Unavailable:
+                    def __init__(self, *a, **k):
+                        raise RuntimeError("miditoolkit stub: not available")
+
+                for mod in (stub, parser_mod):
+                    mod.MidiFile = _Unavailable
+                for mod in (stub, containers_mod):
+                    mod.Note = _Unavailable
+                    mod.Instrument = _Unavailable
+                    mod.TempoChange = _Unavailable
+                    mod.TimeSignature = _Unavailable
+                    mod.KeySignature = _Unavailable
+                    mod.Marker = _Unavailable
+                midi_mod.parser = parser_mod
+                midi_mod.containers = containers_mod
+                stub.midi = midi_mod
+                sys.modules["miditoolkit.midi"] = midi_mod
+                sys.modules["miditoolkit.midi.parser"] = parser_mod
+                sys.modules["miditoolkit.midi.containers"] = containers_mod
+            sys.modules[name] = stub
