@@ -1,0 +1,237 @@
+"""Transformer-XL language model in Flax (TPU-native).
+
+Functional rebuild of the reference's ``MemTransformerLM`` (reference:
+commu/model/model.py:423-693) with the same math but TPU-first structure:
+
+- batch-major ``[B, T, D]`` activations, static shapes everywhere;
+- the segment-level recurrence memory is a *fixed-capacity*, right-aligned
+  hidden-state buffer carried functionally through the step (no in-place
+  mutation, no dynamic lengths — see ``commu_tpu.ops.rel_attention``);
+- K/V for the memory segment are computed with a dedicated kv projection over
+  the memory only (the reference recomputes q,k,v over [mems; x] and discards
+  the memory-q — identical math, fewer FLOPs);
+- per-row ``reset`` flags reproduce the reference's masking-only reset
+  semantics (stale memories are *not* zeroed; they fall out of the rolling
+  buffer naturally — model.py:507-538,557-574);
+- embedding and output softmax weights are tied (model.py:480-481).
+
+Compute dtype is configurable (bf16 matmuls with f32 softmax/LayerNorm by
+default on TPU); parameters are always f32.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import ModelConfig
+from ..ops.rel_attention import build_attention_mask, rel_shift, relative_position_embedding
+
+
+@struct.dataclass
+class Memory:
+    """Rolling hidden-state cache: one stream per layer plus the embedding
+    stream (index 0), right-aligned in a fixed-capacity buffer."""
+
+    hidden: jnp.ndarray  # [L+1, B, M, D]
+    count: jnp.ndarray   # int32 scalar: number of valid (rightmost) slots
+
+
+def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
+                dtype=jnp.float32) -> Memory:
+    return Memory(
+        hidden=jnp.zeros((num_layers + 1, batch, capacity, d_model), dtype=dtype),
+        count=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _normal_init(std: float):
+    return nn.initializers.normal(stddev=std)
+
+
+def _ln_scale_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return 1.0 + jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+class RelMultiHeadAttention(nn.Module):
+    """Relative-position multi-head attention with learned content/position
+    biases (reference: model.py:272-354)."""
+
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic: bool):
+        cfg = self.cfg
+        d_model = cfg.units
+        n_head = cfg.num_heads
+        d_head = d_model // n_head
+        batch, tgt_len, _ = x.shape
+        mem_capacity = mem.shape[1]
+        klen = mem_capacity + tgt_len
+
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=_normal_init(0.01), name=name)
+
+        q = dense(n_head * d_head, "q_net")(x)
+        cat = jnp.concatenate([mem.astype(x.dtype), x], axis=1)
+        kv = dense(2 * n_head * d_head, "kv_net")(cat)
+        r = dense(n_head * d_head, "r_net")(pos_emb)
+
+        q = q.reshape(batch, tgt_len, n_head, d_head)
+        k = kv[..., : n_head * d_head].reshape(batch, klen, n_head, d_head)
+        v = kv[..., n_head * d_head:].reshape(batch, klen, n_head, d_head)
+        r = r.reshape(klen, n_head, d_head)
+
+        scale = 1.0 / (d_head ** 0.5)
+        ac = jnp.einsum("bihd,bjhd->bhij", q + r_w_bias.astype(q.dtype), k)
+        bd = jnp.einsum("bihd,jhd->bhij", q + r_r_bias.astype(q.dtype), r)
+        bd = rel_shift(bd)
+
+        score = (ac + bd).astype(jnp.float32) * scale
+        score = jnp.where(mask, -jnp.inf, score)
+        probs = jax.nn.softmax(score, axis=-1)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+
+        vec = jnp.einsum("bhij,bjhd->bihd", probs.astype(v.dtype), v)
+        vec = vec.reshape(batch, tgt_len, n_head * d_head)
+        out = dense(d_model, "o_net")(vec)
+        out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+                            scale_init=_ln_scale_init(0.01), name="layer_norm")(
+            x.astype(jnp.float32) + out.astype(jnp.float32)).astype(x.dtype)
+
+
+class PositionwiseFF(nn.Module):
+    """Post-LN position-wise feed-forward block (reference: model.py:155-181)."""
+
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        cfg = self.cfg
+        h = nn.Dense(cfg.inner_size, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=_normal_init(0.01), bias_init=nn.initializers.zeros,
+                     name="ff1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(cfg.units, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=_normal_init(0.01), bias_init=nn.initializers.zeros,
+                     name="ff2")(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+                            scale_init=_ln_scale_init(0.01), name="layer_norm")(
+            x.astype(jnp.float32) + h.astype(jnp.float32)).astype(x.dtype)
+
+
+class DecoderLayer(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic: bool):
+        x = RelMultiHeadAttention(self.cfg, self.dtype, name="attn")(
+            x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic)
+        return PositionwiseFF(self.cfg, self.dtype, name="ff")(x, deterministic)
+
+
+class TransformerXL(nn.Module):
+    """The full LM.  ``forward`` -> (hidden, new_memory); ``logits`` projects
+    hidden states through the tied embedding."""
+
+    vocab_size: int
+    cfg: ModelConfig = ModelConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        d_head = cfg.units // cfg.num_heads
+        self.embedding = self.param("embedding", _normal_init(0.01),
+                                    (self.vocab_size, cfg.units), jnp.float32)
+        self.out_bias = self.param("out_bias", nn.initializers.zeros,
+                                   (self.vocab_size,), jnp.float32)
+        self.r_w_bias = self.param("r_w_bias", _normal_init(0.01),
+                                   (cfg.num_heads, d_head), jnp.float32)
+        self.r_r_bias = self.param("r_r_bias", _normal_init(0.01),
+                                   (cfg.num_heads, d_head), jnp.float32)
+        self.layers = [DecoderLayer(cfg, self.dtype, name=f"layer_{i}")
+                       for i in range(cfg.num_layers)]
+        self.emb_dropout = nn.Dropout(cfg.dropout)
+        self.pos_dropout = nn.Dropout(cfg.dropout)
+        self.out_dropout = nn.Dropout(cfg.dropout)
+
+    def embed(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        scale = self.cfg.units ** 0.5
+        return (self.embedding[tokens] * scale).astype(self.dtype)
+
+    def forward(
+        self,
+        tokens: jnp.ndarray,            # [B, T] int32
+        memory: Memory,                 # capacity M
+        reset: Optional[jnp.ndarray] = None,  # [B] bool
+        *,
+        same_length: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Memory]:
+        cfg = self.cfg
+        batch, tgt_len = tokens.shape
+        mem_capacity = memory.hidden.shape[2]
+        klen = mem_capacity + tgt_len
+
+        word_emb = self.embed(tokens)
+        pos_emb = relative_position_embedding(klen, cfg.units, self.dtype, cfg.clamp_len)
+
+        mask = build_attention_mask(
+            tgt_len, mem_capacity, memory.count, reset, same_length, batch)
+
+        h = self.emb_dropout(word_emb, deterministic=deterministic)
+        pos_emb = self.pos_dropout(pos_emb, deterministic=deterministic)
+
+        hids = [h]
+        for i, layer in enumerate(self.layers):
+            h = layer(h, memory.hidden[i], pos_emb, self.r_w_bias, self.r_r_bias,
+                      mask, deterministic)
+            hids.append(h)
+        out = self.out_dropout(h, deterministic=deterministic)
+
+        new_memory = self._update_memory(memory, hids)
+        return out, new_memory
+
+    def _update_memory(self, memory: Memory, hids) -> Memory:
+        mem_capacity = memory.hidden.shape[2]
+        tgt_len = hids[0].shape[1]
+        stacked = jax.lax.stop_gradient(
+            jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
+        if tgt_len >= mem_capacity:
+            new_hidden = stacked[:, :, -mem_capacity:]
+        else:
+            new_hidden = jnp.concatenate(
+                [memory.hidden[:, :, tgt_len:], stacked], axis=2)
+        new_count = jnp.minimum(memory.count + tgt_len, mem_capacity)
+        return Memory(hidden=new_hidden, count=new_count)
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Tied-embedding output projection (reference: model.py:44-51,480-481)."""
+        return (hidden.astype(jnp.float32) @ self.embedding.T + self.out_bias)
+
+    def __call__(self, tokens, memory, reset=None, *, same_length=False,
+                 deterministic=True):
+        """forward + logits, for initialization and simple use."""
+        hidden, new_memory = self.forward(
+            tokens, memory, reset, same_length=same_length,
+            deterministic=deterministic)
+        return self.logits(hidden), new_memory
+
+
+def token_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Per-token negative log-likelihood [B, T] (reference: model.py:64-73)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
