@@ -1,0 +1,147 @@
+"""Jit-compiled train / eval steps.
+
+TPU-first restructure of the reference's script-level loop (reference:
+train.py:113-288):
+
+- The whole optimizer step — forward over the full global batch, per-chunk
+  masked-mean loss, grad, clip, Adam update, XL-memory roll — is ONE traced
+  function with static shapes; no Python inside the hot path.
+- The reference's ``batch_chunk`` gradient accumulation (train.py:133-155)
+  exists to fit GPU memory; on TPU the whole batch fits, so the chunked
+  *backwards* are fused into a single backward whose loss reproduces the exact
+  chunk semantics: ``loss = mean over chunks of (masked mean nll per chunk)``.
+  The gradients are identical to the reference's accumulated ones.
+- Data parallelism is expressed by sharding the batch/memory over a mesh and
+  letting XLA insert the gradient ``psum`` (see commu_tpu.parallel) — the DDP
+  allreduce (train.py:467-473) disappears as code.
+- Grad clipping matches torch's ``clip_grad_norm_`` including its 1e-6 eps
+  (train.py:159-161); the *pre-clip* norm is returned for logging.
+
+Metric contract (matches the log lines of train.py:171-197):
+    ``nll_sum``     sum of per-token NLL over non-pad targets
+    ``token_count`` number of non-pad targets
+    ``grad_norm``   pre-clip global grad norm
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import TrainingConfig
+from ..models.transformer_xl import Memory, TransformerXL, init_memory, token_nll
+from ..vocab.event_tokens import PAD_ID
+from .schedule import make_lr_schedule
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar, number of applied updates
+
+
+def make_optimizer(cfg: TrainingConfig, num_devices: int = 1) -> optax.GradientTransformation:
+    """Adam with the reference's schedule; weight decay applied torch-style
+    (added to the gradient before the moment updates) when nonzero."""
+    schedule = make_lr_schedule(cfg.train, num_devices)
+    parts = []
+    if cfg.train.weight_decay > 0.0:
+        parts.append(optax.add_decayed_weights(cfg.train.weight_decay))
+    parts.append(optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8))
+    return optax.chain(*parts)
+
+
+def create_train_state(rng: jax.Array, model: TransformerXL,
+                       cfg: TrainingConfig, num_devices: int = 1,
+                       sample_batch: int = 2) -> TrainState:
+    """Initialize params (all weights ~ N(0, base_init), reference
+    train.py:291-342 via the module initializers) and optimizer state."""
+    tokens = jnp.zeros((sample_batch, cfg.train.tgt_length), dtype=jnp.int32)
+    memory = init_memory(cfg.model.num_layers, sample_batch,
+                         cfg.train.mem_length, cfg.model.units)
+    params = model.init({"params": rng}, tokens, memory)["params"]
+    tx = make_optimizer(cfg, num_devices)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), dtype=jnp.int32))
+
+
+def _clip_by_global_norm(grads, max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics (train.py:159-161): scale by
+    ``max_norm / (norm + 1e-6)`` when the norm exceeds ``max_norm``; return
+    the pre-clip norm."""
+    norm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), norm
+
+
+def chunked_masked_nll(logits: jnp.ndarray, targets: jnp.ndarray,
+                       num_chunks: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(loss, nll_sum, token_count) with the reference's chunk semantics.
+
+    The reference splits the batch into ``batch_chunk`` chunks per rank and
+    backwards ``chunk_masked_mean / batch_chunk`` for each (train.py:139-155),
+    and DDP averages over ranks — net effect: the gradient of the mean over
+    all (rank x chunk) chunk-wise masked means, times the rank count folded
+    into the lr (see schedule).  Here the same loss is computed in one graph.
+    """
+    nll = token_nll(logits, targets)                      # [B, T] f32
+    mask = (targets != PAD_ID).astype(jnp.float32)
+    batch = targets.shape[0]
+    assert batch % num_chunks == 0, (batch, num_chunks)
+    nll_c = (nll * mask).reshape(num_chunks, -1).sum(axis=1)
+    tok_c = mask.reshape(num_chunks, -1).sum(axis=1)
+    chunk_means = nll_c / jnp.maximum(tok_c, 1.0)
+    loss = chunk_means.mean()
+    return loss, (nll * mask).sum(), mask.sum()
+
+
+def make_train_step(model: TransformerXL, cfg: TrainingConfig,
+                    num_devices: int = 1) -> Callable:
+    """Build the fused train step: (state, memory, batch, rng) -> updated."""
+    tx = make_optimizer(cfg, num_devices)
+    num_chunks = cfg.train.batch_chunk * num_devices
+    clip = cfg.train.clip
+
+    def loss_fn(params, memory: Memory, inputs, targets, reset, dropout_rng):
+        (logits, new_memory) = model.apply(
+            {"params": params}, inputs, memory, reset,
+            same_length=cfg.model.same_length, deterministic=False,
+            rngs={"dropout": dropout_rng})
+        loss, nll_sum, token_count = chunked_masked_nll(logits, targets, num_chunks)
+        return loss, (new_memory, nll_sum, token_count)
+
+    def train_step(state: TrainState, memory: Memory, inputs, targets, reset,
+                   rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        grads, (new_memory, nll_sum, token_count) = jax.grad(
+            loss_fn, has_aux=True)(state.params, memory, inputs, targets,
+                                   reset, dropout_rng)
+        grads, grad_norm = _clip_by_global_norm(grads, clip)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, opt_state=new_opt_state,
+                               step=state.step + 1)
+        metrics = {"nll_sum": nll_sum, "token_count": token_count,
+                   "grad_norm": grad_norm}
+        return new_state, new_memory, metrics
+
+    return train_step
+
+
+def make_eval_step(model: TransformerXL, *, same_length: bool = True) -> Callable:
+    """Windowed eval step (reference: train.py:74-110): returns the masked
+    NLL sum and token count for one ``bptt`` window, carrying XL memory."""
+
+    def eval_step(params, memory: Memory, inputs, targets, reset):
+        logits, new_memory = model.apply(
+            {"params": params}, inputs, memory, reset,
+            same_length=same_length, deterministic=True)
+        nll = token_nll(logits, targets)
+        mask = (targets != PAD_ID).astype(jnp.float32)
+        return (nll * mask).sum(), mask.sum(), new_memory
+
+    return eval_step

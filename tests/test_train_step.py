@@ -1,0 +1,186 @@
+"""Train-step tests: schedule parity vs torch, loss semantics, clip parity,
+mesh-vs-single-device equivalence, resume round-trip."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from commu_tpu.config import (EvaluateConfig, ModelConfig, TrainConfig,
+                              TrainingConfig)
+from commu_tpu.models.transformer_xl import TransformerXL, init_memory
+from commu_tpu.parallel import make_mesh, shard_train_step
+from commu_tpu.training.schedule import make_lr_schedule
+from commu_tpu.training.step import (chunked_masked_nll, create_train_state,
+                                     make_train_step, _clip_by_global_norm)
+from commu_tpu.vocab.event_tokens import PAD_ID
+
+TINY = TrainingConfig(
+    model=ModelConfig(num_layers=2, num_heads=2, units=32, inner_size=64,
+                      dropout=0.0, attention_dropout=0.0),
+    train=TrainConfig(batch_size=8, batch_chunk=2, tgt_length=12,
+                      mem_length=16, lr=8e-3, warmup_step=5, max_step=50),
+    evaluate=EvaluateConfig(batch_size=4, tgt_length=12, mem_length=24),
+)
+VOCAB = 40
+
+
+def _batch(rng, batch=8, t=12):
+    inputs = rng.randint(1, VOCAB, size=(batch, t)).astype(np.int32)
+    targets = rng.randint(1, VOCAB, size=(batch, t)).astype(np.int32)
+    targets[:, -2:] = PAD_ID  # some padding
+    reset = np.zeros(batch, dtype=bool)
+    return inputs, targets, reset
+
+
+def test_schedule_matches_torch_lambdalr():
+    import torch
+
+    for warmup in (0, 5, 100):
+        cfg = TrainConfig(lr=4e-3, lr_min=1e-4, warmup_step=warmup)
+        for n_dev in (1, 4):
+            sched = make_lr_schedule(cfg, n_dev)
+            # the reference's lambda (train.py:448-461)
+            def lr_lambda(step):
+                if step == 0 and warmup == 0:
+                    return 1.0
+                return (max((warmup ** 0.5) / (step ** 0.5), cfg.lr_min / cfg.lr)
+                        if step > warmup else step / warmup)
+            opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))],
+                                   lr=cfg.lr / n_dev)
+            scheduler = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda)
+            for count in range(0, 250, 7):
+                # LambdaLR sets lr = base * lambda(epoch); epoch == update count
+                while scheduler.last_epoch < count:
+                    scheduler.step()
+                torch_lr = opt.param_groups[0]["lr"]
+                ours = float(sched(count))
+                assert math.isclose(ours, torch_lr, rel_tol=1e-6, abs_tol=1e-12), (
+                    warmup, n_dev, count, ours, torch_lr)
+
+
+def test_clip_matches_torch():
+    import torch
+
+    rng = np.random.RandomState(0)
+    grads = {"a": rng.randn(7, 3).astype(np.float32),
+             "b": rng.randn(11).astype(np.float32) * 10}
+    for max_norm in (0.5, 1.0, 100.0):
+        t = [torch.nn.Parameter(torch.from_numpy(v.copy())) for v in grads.values()]
+        for p in t:
+            p.grad = p.detach().clone()
+        norm_t = torch.nn.utils.clip_grad_norm_(t, max_norm)
+        clipped, norm = _clip_by_global_norm(
+            jax.tree_util.tree_map(jnp.asarray, grads), max_norm)
+        assert math.isclose(float(norm), float(norm_t), rel_tol=1e-5)
+        np.testing.assert_allclose(np.asarray(clipped["a"]),
+                                   t[0].grad.numpy(), rtol=1e-5)
+
+
+def test_chunked_loss_equals_mean_of_chunk_means():
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(8, 12, VOCAB).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, VOCAB, size=(8, 12)).astype(np.int32))
+    loss, nll_sum, tok = chunked_masked_nll(logits, targets, 4)
+    # brute force
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -np.take_along_axis(np.asarray(logp), np.asarray(targets)[..., None],
+                              axis=-1)[..., 0]
+    mask = np.asarray(targets) != PAD_ID
+    means = [nll[i*2:(i+1)*2][mask[i*2:(i+1)*2]].mean() for i in range(4)]
+    assert math.isclose(float(loss), float(np.mean(means)), rel_tol=1e-5)
+    assert math.isclose(float(nll_sum), float(nll[mask].sum()), rel_tol=1e-5)
+    assert float(tok) == mask.sum()
+
+
+def test_train_step_learns():
+    model = TransformerXL(VOCAB, TINY.model, dtype=jnp.float32)
+    state = create_train_state(jax.random.PRNGKey(0), model, TINY)
+    step = jax.jit(make_train_step(model, TINY))
+    zero_memory = init_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
+                              TINY.model.units)
+    rng = np.random.RandomState(0)
+    fixed = _batch(rng)  # overfit one batch (fresh memory each step)
+    key = jax.random.PRNGKey(1)
+    first = last = None
+    for i in range(120):
+        state, _, metrics = step(state, zero_memory, *fixed, key)
+        nll = float(metrics["nll_sum"]) / float(metrics["token_count"])
+        if i == 0:
+            first = nll
+        last = nll
+    assert last < first * 0.7, (first, last)
+
+
+def test_mesh_step_matches_single_device():
+    """The pjit'd DP step over the virtual 8-device mesh produces the same
+    params/metrics as the plain single-device step."""
+    model = TransformerXL(VOCAB, TINY.model, dtype=jnp.float32)
+    raw_step = make_train_step(model, TINY)
+
+    state1 = create_train_state(jax.random.PRNGKey(0), model, TINY)
+    state8 = create_train_state(jax.random.PRNGKey(0), model, TINY)
+    mesh = make_mesh(8)
+    step1 = jax.jit(raw_step)
+    step8 = shard_train_step(raw_step, mesh)
+
+    mem1 = init_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
+                       TINY.model.units)
+    mem8 = init_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
+                       TINY.model.units)
+    rng = np.random.RandomState(7)
+    key = jax.random.PRNGKey(2)
+    for _ in range(3):
+        batch = _batch(rng)
+        state1, mem1, m1 = step1(state1, mem1, *batch, key)
+        state8, mem8, m8 = step8(state8, mem8, *batch, key)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    assert math.isclose(float(m1["nll_sum"]), float(m8["nll_sum"]),
+                        rel_tol=1e-4)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    from commu_tpu.training.checkpoint import CheckpointManager
+
+    model = TransformerXL(VOCAB, TINY.model, dtype=jnp.float32)
+    state = create_train_state(jax.random.PRNGKey(0), model, TINY)
+    step = jax.jit(make_train_step(model, TINY))
+    memory = init_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
+                         TINY.model.units)
+    rng = np.random.RandomState(3)
+    key = jax.random.PRNGKey(4)
+    for _ in range(3):
+        state, memory, _ = step(state, memory, *_batch(rng), key)
+
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_last(state, 1.25)
+    template = create_train_state(jax.random.PRNGKey(9), model, TINY)
+    restored, best = mgr.restore("checkpoint_last", template)
+    assert best == 1.25
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state can keep training
+    state2, _, _ = step(restored, memory, *_batch(rng), key)
+    assert int(state2.step) == 4
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    from commu_tpu.training.checkpoint import export_torch, import_torch
+
+    cfg = TINY.model
+    model = TransformerXL(VOCAB, cfg, dtype=jnp.float32)
+    state = create_train_state(jax.random.PRNGKey(0), model, TINY)
+    path = tmp_path / "ckpt.pt"
+    export_torch(state.params, path, step=5, cfg=cfg)
+    params2 = import_torch(path, cfg)
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(state.params)[0])
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(params2)[0])
+    assert flat1.keys() == flat2.keys()
+    for k in flat1:
+        np.testing.assert_allclose(np.asarray(flat1[k]), flat2[k], atol=1e-7)

@@ -1,0 +1,83 @@
+"""Train the ComMU Transformer-XL on TPU.
+
+CLI mirror of the reference's ``train.py`` (reference: train.py:57-70): the
+hyperparameters are code (commu_tpu/config.py), the CLI takes only data/work
+dirs.  The reference's ``--local_rank`` / ``torch.distributed.launch``
+machinery (README.md:80) is gone — one process drives every device through a
+``data`` mesh; pass ``--num_devices`` to use a subset.
+
+    python train.py --data_dir ./dataset/output_npy --work_dir ./workdir
+"""
+import argparse
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", type=str, required=True,
+                   help="directory with {input,target}_{train,val}.npy")
+    p.add_argument("--work_dir", type=str, required=True,
+                   help="experiment directory (logs, config.yml, checkpoints)")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="use only the first N devices (default: all)")
+    p.add_argument("--max_step", type=int, default=None,
+                   help="override cfg.train.max_step (smoke runs)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from work_dir/checkpoint_last if present")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16", help="activation/matmul dtype")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="SECTION.FIELD=VALUE",
+                   help="config override, e.g. --set train.batch_size=16")
+    return p.parse_args()
+
+
+def apply_overrides(cfg, overrides):
+    """Apply ``section.field=value`` overrides to the frozen config tree."""
+    import dataclasses
+
+    sections = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+    for item in overrides:
+        key, _, raw = item.partition("=")
+        section_name, _, field = key.partition(".")
+        section = sections[section_name]
+        current = getattr(section, field)  # KeyError/AttributeError on typos
+        value = type(current)(raw) if not isinstance(current, bool) \
+            else raw.lower() in ("1", "true", "yes")
+        sections[section_name] = dataclasses.replace(section, **{field: value})
+    return cfg.replace(**sections)
+
+
+def main():
+    args = parse_args()
+
+    work_dir = f"{args.work_dir}/{time.strftime('%Y%m%d-%H%M%S')}" \
+        if not args.resume else args.work_dir
+
+    from commu_tpu.utils.logging import configure_logging
+    logger = configure_logging(work_dir)
+
+    import os
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor the env var even when a sitecustomize pre-selected a platform.
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import jax.numpy as jnp
+    from commu_tpu.config import get_default_cfg_training
+    from commu_tpu.training.loop import Trainer
+
+    cfg = apply_overrides(get_default_cfg_training(), args.overrides)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    trainer = Trainer(args.data_dir, work_dir, cfg,
+                      num_devices=args.num_devices, model_dtype=dtype)
+    logger.info("devices=%d, global batch=%d, model dtype=%s",
+                trainer.num_devices, cfg.train.batch_size, args.dtype)
+    if args.resume:
+        trainer.maybe_resume()
+    trainer.train(max_step=args.max_step)
+    trainer.final_test()
+
+
+if __name__ == "__main__":
+    main()
