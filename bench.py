@@ -1,0 +1,70 @@
+"""Headline benchmark: training throughput (tokens/sec/chip).
+
+Runs the full-size ComMU Transformer-XL (6 layers, 10 heads, d_model 500,
+vocab 729 — reference: commu/model/config_helper.py:4-32) through the fused
+jit train step at the reference's training shape (global batch 256, tgt 128,
+mem 1024) on whatever accelerator JAX exposes, and prints ONE JSON line.
+
+``vs_baseline`` compares against an estimated reference throughput of 70k
+tokens/s on one A100 (13.9M params, fp32/TF32 torch, batch 64/GPU — the
+reference publishes no numbers, see BASELINE.md; the north-star target is
+3x that, i.e. 210k tokens/s/chip).
+"""
+import json
+import time
+
+BASELINE_TOKENS_PER_SEC = 70_000.0  # estimated reference A100 (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from commu_tpu.config import get_default_cfg_training
+    from commu_tpu.models.transformer_xl import TransformerXL, init_memory
+    from commu_tpu.training.step import create_train_state, make_train_step
+    from commu_tpu.vocab.event_tokens import VOCAB_SIZE
+
+    cfg = get_default_cfg_training()
+    tcfg = cfg.train
+    batch, tgt = tcfg.batch_size, tcfg.tgt_length
+
+    model = TransformerXL(VOCAB_SIZE, cfg.model, dtype=jnp.bfloat16)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg)
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0, 1))
+    memory = init_memory(cfg.model.num_layers, batch, tcfg.mem_length,
+                         cfg.model.units)
+
+    rng = np.random.RandomState(0)
+    def make_batch():
+        return (rng.randint(1, VOCAB_SIZE, size=(batch, tgt), dtype=np.int32),
+                rng.randint(1, VOCAB_SIZE, size=(batch, tgt), dtype=np.int32),
+                np.zeros(batch, dtype=bool))
+
+    key = jax.random.PRNGKey(1)
+    batches = [make_batch() for _ in range(4)]
+
+    # warmup / compile
+    for i in range(3):
+        state, memory, metrics = step(state, memory, *batches[i % 4], key)
+    jax.block_until_ready(metrics["nll_sum"])
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, memory, metrics = step(state, memory, *batches[i % 4], key)
+    jax.block_until_ready(metrics["nll_sum"])
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec = n_steps * batch * tgt / dt
+    print(json.dumps({
+        "metric": "train_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

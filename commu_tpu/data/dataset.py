@@ -217,9 +217,14 @@ def save_corpus(data_dir: str | Path, split: str, inputs: List[np.ndarray],
     (reference: preprocessor.py:306-319)."""
     data_dir = Path(data_dir)
     data_dir.mkdir(parents=True, exist_ok=True)
-    np.save(data_dir / f"input_{split}.npy",
-            np.array([np.asarray(x) for x in inputs], dtype=object),
+
+    def _object_array(items):
+        arr = np.empty(len(items), dtype=object)
+        for i, x in enumerate(items):
+            arr[i] = np.asarray(x)
+        return arr
+
+    np.save(data_dir / f"input_{split}.npy", _object_array(inputs),
             allow_pickle=True)
-    np.save(data_dir / f"target_{split}.npy",
-            np.array([np.asarray(x) for x in targets], dtype=object),
+    np.save(data_dir / f"target_{split}.npy", _object_array(targets),
             allow_pickle=True)

@@ -1,0 +1,198 @@
+"""Incremental decoding: prefill + per-row KV cache, built for jit sampling.
+
+The reference generates one token per Python-driven forward, recomputing
+q/k/v over the ENTIRE [mems; token] window every step — O(klen·d²) per token
+(reference: commu/midi_generator/midi_inferrer.py:199-207,
+commu/model/model.py:606-628,540-604).  The TPU-native decode path instead:
+
+- caches K/V per layer once per committed token (O(d²) + O(klen·d) per step);
+- keeps the cache LEFT-ALIGNED with a per-row ``length`` so a whole batch of
+  prompts decodes in lock-step inside one jit loop even when rows advance at
+  different rates (the teacher-forcing state machine can stall a row);
+- precomputes the relative-position projections R_l(d) for every distance d
+  once, turning the XL `BD` term into one einsum + a cheap index gather.
+
+Numerical contract: identical logits to ``TransformerXL.forward`` (and hence
+to the reference's ``forward_generate``) for any prefix — asserted by
+tests/test_decode.py.  ``same_length=True`` at inference is a no-op because
+klen never exceeds ``memory_length`` (reference: model.py:549-560 — mask_len
+<= 0 for every generation step), so decode is plain causal attention.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import ModelConfig
+from ..ops.rel_attention import relative_position_embedding
+
+
+@struct.dataclass
+class KVCache:
+    """Left-aligned per-layer key/value cache.
+
+    k, v: [L, G, M, H, Dh]; length: [G] valid prefix length per row.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray
+
+
+def init_cache(cfg: ModelConfig, batch: int, capacity: int,
+               dtype=jnp.float32) -> KVCache:
+    n_head = cfg.num_heads
+    d_head = cfg.units // n_head
+    shape = (cfg.num_layers, batch, capacity, n_head, d_head)
+    return KVCache(
+        k=jnp.zeros(shape, dtype=dtype),
+        v=jnp.zeros(shape, dtype=dtype),
+        length=jnp.zeros((batch,), dtype=jnp.int32),
+    )
+
+
+def _layer(params, i: int):
+    return params[f"layer_{i}"]
+
+
+def precompute_rel(params, cfg: ModelConfig, max_distance: int) -> jnp.ndarray:
+    """R[l, d, h, k] = r_net_l(sinusoid(d)) for distances d in [0, max_distance]."""
+    n_head = cfg.num_heads
+    d_head = cfg.units // n_head
+    # relative_position_embedding(n) covers distances n-1..0 (descending);
+    # flip to ascending d = 0..max_distance.
+    pos = relative_position_embedding(max_distance + 1, cfg.units,
+                                      jnp.float32, cfg.clamp_len)[::-1]
+    rs = []
+    for i in range(cfg.num_layers):
+        kernel = _layer(params, i)["attn"]["r_net"]["kernel"]  # [D, H*Dh]
+        rs.append((pos @ kernel).reshape(max_distance + 1, n_head, d_head))
+    return jnp.stack(rs)  # [L, max_dist+1, H, Dh]
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    x = x.astype(jnp.float32)
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
+                cache: KVCache) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One-token forward for every row.
+
+    Args:
+        tokens: [G] int32 — each row's current last token.
+        cache:  KVCache whose first ``length[g]`` slots hold row g's context.
+
+    Returns:
+        (logits [G, V] f32, k_self [L, G, H, Dh], v_self [L, G, H, Dh]).
+        The self K/V are NOT written to the cache — call ``commit`` with a
+        per-row advance mask to mirror the reference's memory-commit rules
+        (first_loop / logits-reuse iterations do not advance memory,
+        midi_inferrer.py:253-260).
+    """
+    n_head = cfg.num_heads
+    d_head = cfg.units // n_head
+    hd = n_head * d_head
+    capacity = cache.k.shape[2]
+    scale = 1.0 / (d_head ** 0.5)
+
+    emb = params["embedding"]
+    x = emb[tokens] * (cfg.units ** 0.5)          # [G, D]
+    r_w = params["r_w_bias"]                       # [H, Dh]
+    r_r = params["r_r_bias"]
+
+    j_idx = jnp.arange(capacity)[None, :]          # [1, M]
+    valid = j_idx < cache.length[:, None]          # [G, M]
+    # distance of cache slot j from the current token: length - j (>= 1)
+    dist = jnp.clip(cache.length[:, None] - j_idx, 0, rel.shape[1] - 1)  # [G, M]
+
+    k_selfs, v_selfs = [], []
+    for i in range(cfg.num_layers):
+        lp = _layer(params, i)["attn"]
+        q = (x @ lp["q_net"]["kernel"]).reshape(-1, n_head, d_head)
+        kv = x @ lp["kv_net"]["kernel"]
+        k_self = kv[:, :hd].reshape(-1, n_head, d_head)
+        v_self = kv[:, hd:].reshape(-1, n_head, d_head)
+        k_selfs.append(k_self)
+        v_selfs.append(v_self)
+
+        qw = (q + r_w).astype(jnp.float32)
+        qr = (q + r_r).astype(jnp.float32)
+        # content scores over cache + self
+        ac = jnp.einsum("ghd,gjhd->ghj", qw, cache.k[i].astype(jnp.float32))
+        ac_self = jnp.einsum("ghd,ghd->gh", qw, k_self.astype(jnp.float32))
+        # position scores: P[g,h,d] for all distances, then gather per slot
+        p = jnp.einsum("ghd,jhd->ghj", qr, rel[i])   # [G, H, max_dist+1]
+        bd = jnp.take_along_axis(
+            p, jnp.broadcast_to(dist[:, None, :], ac.shape), axis=2)
+        bd_self = p[:, :, 0]
+
+        score = (ac + bd) * scale                   # [G, H, M]
+        score = jnp.where(valid[:, None, :], score, -jnp.inf)
+        score_self = ((ac_self + bd_self) * scale)[:, :, None]
+        full = jnp.concatenate([score, score_self], axis=2)
+        probs = jax.nn.softmax(full, axis=2)
+
+        out = jnp.einsum("ghj,gjhd->ghd", probs[:, :, :capacity],
+                         cache.v[i].astype(jnp.float32))
+        out = out + probs[:, :, capacity][:, :, None] * v_self.astype(jnp.float32)
+        out = out.reshape(-1, hd) @ lp["o_net"]["kernel"]
+
+        ln = lp["layer_norm"]
+        x = _layer_norm(x + out, ln["scale"], ln["bias"])
+
+        fp = _layer(params, i)["ff"]
+        h = jax.nn.relu(x @ fp["ff1"]["kernel"] + fp["ff1"]["bias"])
+        h = h @ fp["ff2"]["kernel"] + fp["ff2"]["bias"]
+        ln = fp["layer_norm"]
+        x = _layer_norm(x + h, ln["scale"], ln["bias"])
+
+    logits = x @ emb.T + params["out_bias"]
+    return logits, jnp.stack(k_selfs), jnp.stack(v_selfs)
+
+
+def commit(cache: KVCache, k_self: jnp.ndarray, v_self: jnp.ndarray,
+           advance: jnp.ndarray) -> KVCache:
+    """Append each row's self K/V at its current length where ``advance``."""
+    capacity = cache.k.shape[2]
+    one_hot = (jnp.arange(capacity)[None, :] == cache.length[:, None])
+    write = one_hot & advance[:, None]               # [G, M]
+    w = write[None, :, :, None, None]                # [L, G, M, 1, 1]
+    new_k = jnp.where(w, k_self[:, :, None], cache.k)
+    new_v = jnp.where(w, v_self[:, :, None], cache.v)
+    new_len = cache.length + advance.astype(jnp.int32)
+    return KVCache(k=new_k, v=new_v, length=new_len)
+
+
+def prefill(model, params, cfg: ModelConfig, tokens: jnp.ndarray,
+            cache: KVCache) -> KVCache:
+    """Run the full forward over the primer tokens and populate the cache.
+
+    Mirrors the reference's ``init_seq_and_mems`` (midi_inferrer.py:186-197):
+    the primer is [pad] + meta[:10] (11 tokens); the K/V of every primer token
+    enters the cache.
+    """
+    from .transformer_xl import init_memory
+
+    batch, t = tokens.shape
+    memory = init_memory(cfg.num_layers, batch, 0, cfg.units)
+    _, _, hids = model.apply({"params": params}, tokens, memory,
+                             method=model.forward, return_hiddens=True)
+    n_head = cfg.num_heads
+    d_head = cfg.units // n_head
+    hd = n_head * d_head
+    new_k, new_v = cache.k, cache.v
+    for i in range(cfg.num_layers):
+        kernel = _layer(params, i)["attn"]["kv_net"]["kernel"]
+        kv = hids[i].astype(jnp.float32) @ kernel      # [G, T, 2*hd]
+        k = kv[..., :hd].reshape(batch, t, n_head, d_head)
+        v = kv[..., hd:].reshape(batch, t, n_head, d_head)
+        new_k = new_k.at[i, :, :t].set(k)
+        new_v = new_v.at[i, :, :t].set(v)
+    return KVCache(k=new_k, v=new_v,
+                   length=jnp.full((batch,), t, dtype=jnp.int32))

@@ -180,7 +180,8 @@ class TransformerXL(nn.Module):
         *,
         same_length: bool = False,
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, Memory]:
+        return_hiddens: bool = False,
+    ):
         cfg = self.cfg
         batch, tgt_len = tokens.shape
         mem_capacity = memory.hidden.shape[2]
@@ -203,6 +204,9 @@ class TransformerXL(nn.Module):
         out = self.out_dropout(h, deterministic=deterministic)
 
         new_memory = self._update_memory(memory, hids)
+        if return_hiddens:
+            # per-layer INPUT hiddens (hids[0..L-1]) feed the decode KV cache
+            return out, new_memory, hids
         return out, new_memory
 
     def _update_memory(self, memory: Memory, hids) -> Memory:

@@ -1,0 +1,97 @@
+"""Metadata-conditioned MIDI generation on TPU.
+
+CLI mirror of the reference's ``generate.py`` (reference: generate.py:8-50) —
+same flags, same choice lists — driving the jit KV-cache sampler by default
+(``--sampler host`` selects the reference-structured parity loop).
+
+    python generate.py --checkpoint_dir ./work/checkpoint_best \\
+        --output_dir ./out --bpm 70 --audio_key aminor --time_signature 4/4 \\
+        --pitch_range mid --num_measures 8 --inst acoustic_piano \\
+        --genre newage --min_velocity 60 --max_velocity 80 \\
+        --track_role main_melody --rhythm standard --num_generate 3 \\
+        --chord_progression "Am-Am-Am-Am-Am-Am-Am-Am-..."
+"""
+import argparse
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="ComMU-TPU generation")
+    from commu_tpu.utils import constants
+
+    p.add_argument("--checkpoint_dir", type=str, required=True,
+                   help="Orbax checkpoint dir or reference .pt file")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--bpm", type=int)
+    p.add_argument("--audio_key", type=str, choices=list(constants.KEY_MAP.keys()))
+    p.add_argument("--time_signature", type=str,
+                   choices=list(constants.TIME_SIG_MAP.keys()))
+    p.add_argument("--pitch_range", type=str,
+                   choices=list(constants.PITCH_RANGE_MAP.keys()))
+    p.add_argument("--num_measures", type=float)
+    p.add_argument("--inst", type=str, choices=list(constants.INST_MAP.keys()))
+    p.add_argument("--genre", type=str, default="cinematic",
+                   choices=list(constants.GENRE_MAP.keys()))
+    p.add_argument("--track_role", type=str,
+                   choices=list(constants.TRACK_ROLE_MAP.keys()))
+    p.add_argument("--rhythm", type=str, default="standard",
+                   choices=list(constants.RHYTHM_MAP.keys()))
+    p.add_argument("--min_velocity", type=int, choices=range(1, 128))
+    p.add_argument("--max_velocity", type=int, choices=range(1, 128))
+    p.add_argument("--chord_progression", type=str, required=True,
+                   help="Chord progression ex) C-C-E-E-G-G ...")
+    p.add_argument("--num_generate", type=int, default=1)
+    p.add_argument("--top_k", type=int, default=32)
+    p.add_argument("--temperature", type=float, default=0.95)
+    p.add_argument("--sampler", choices=["jit", "host"], default="jit",
+                   help="jit: on-device batched loop; host: parity loop")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gen_length", type=int, default=None,
+                   help="override max generation length (smoke runs)")
+    p.add_argument("--lenient", action="store_true",
+                   help="keep sequences even if they fail musical validation "
+                        "(extension; useful with untrained checkpoints)")
+    return p.parse_args()
+
+
+META_KEYS = ("bpm", "audio_key", "time_signature", "pitch_range",
+             "num_measures", "inst", "genre", "min_velocity", "max_velocity",
+             "track_role", "rhythm")
+
+
+def main():
+    args = parse_args()
+
+    import os
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from commu_tpu.utils.logging import configure_logging
+    configure_logging(None)
+
+    from commu_tpu.config import get_default_cfg_inference
+    from commu_tpu.generation import GenerationInput, MidiGenerationPipeline
+
+    input_data = GenerationInput.from_dict({
+        **{k: getattr(args, k) for k in META_KEYS},
+        "output_dir": args.output_dir,
+        "num_generate": args.num_generate,
+        "top_k": args.top_k,
+        "temperature": args.temperature,
+        "chord_progression": args.chord_progression,
+    })
+
+    icfg = get_default_cfg_inference()
+    if args.gen_length is not None:
+        import dataclasses
+        icfg = dataclasses.replace(icfg, generation_length=args.gen_length)
+
+    pipeline = MidiGenerationPipeline(args.checkpoint_dir,
+                                      inference_cfg=icfg,
+                                      sampler=args.sampler)
+    out = pipeline.run(input_data, seed=args.seed, validate=not args.lenient)
+    print(f"Generated files under: {out}")
+
+
+if __name__ == "__main__":
+    main()

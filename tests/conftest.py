@@ -49,6 +49,18 @@ def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
+    if "yacs" not in sys.modules:
+        yacs_mod = types.ModuleType("yacs")
+        yacs_config_mod = types.ModuleType("yacs.config")
+
+        class _CfgNode(dict):
+            pass
+
+        yacs_config_mod.CfgNode = _CfgNode
+        yacs_mod.config = yacs_config_mod
+        sys.modules["yacs"] = yacs_mod
+        sys.modules["yacs.config"] = yacs_config_mod
+
     for name in ("miditoolkit", "pretty_midi", "parmap"):
         if name not in sys.modules:
             stub = types.ModuleType(name)

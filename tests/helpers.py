@@ -11,7 +11,7 @@ from commu_tpu.midi import (
     TimeSignature,
 )
 
-CHORD_POOL = ["c", "f", "g", "am", "dm", "em", "a#"]
+CHORD_POOL = ["C", "F", "G", "Am", "Dm", "Em", "A#"]
 
 
 def make_commu_midi(

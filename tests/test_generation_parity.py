@@ -1,0 +1,161 @@
+"""Generation parity tests.
+
+Gold differential: the host-parity sampler must produce the exact token
+sequence the reference's torch ``InferenceTask`` produces under identical
+weights at temperature=0 (fully deterministic); the jit on-device sampler
+must match the host sampler token-for-token.
+"""
+import dataclasses
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from commu_tpu.config import InferenceConfig, ModelConfig
+from commu_tpu.generation.container import GenerationInput
+from commu_tpu.generation.host_sampler import InferenceEngine, generate_sequence
+from commu_tpu.models import TransformerXL, flax_params_from_torch_state
+from commu_tpu.vocab.event_tokens import VOCAB_SIZE
+from commu_tpu.vocab.meta_codec import encode_meta
+
+from conftest import add_reference_to_path, reference_available
+
+N_LAYER, N_HEAD, D_MODEL, D_INNER = 2, 2, 32, 64
+GEN_LEN = 100
+CFG = ModelConfig(num_layers=N_LAYER, num_heads=N_HEAD, units=D_MODEL,
+                  inner_size=D_INNER, dropout=0.0, attention_dropout=0.0,
+                  same_length=True)
+ICFG = InferenceConfig(memory_length=512, generation_length=GEN_LEN)
+
+
+def _input_data(tmp_path, chords, num_measures=4, **kw):
+    return GenerationInput(
+        bpm=70, audio_key="aminor", time_signature="4/4", pitch_range="mid",
+        num_measures=float(num_measures), inst="acoustic_piano",
+        genre="newage", min_velocity=60, max_velocity=80,
+        track_role="main_melody", rhythm="standard",
+        output_dir=str(tmp_path), num_generate=1, top_k=32, temperature=0.0,
+        chord_progression=chords, **kw)
+
+
+def _models(seed=0):
+    add_reference_to_path()
+    torch = pytest.importorskip("torch")
+    from commu.model.model import MemTransformerLM
+
+    cfg = types.SimpleNamespace(
+        MODEL=types.SimpleNamespace(
+            num_layers=N_LAYER, num_heads=N_HEAD, units=D_MODEL,
+            inner_size=D_INNER, dropout=0.0, attention_dropout=0.0,
+            clamp_len=-1, same_length=True,
+        ),
+        TRAIN=types.SimpleNamespace(tgt_length=1, mem_length=ICFG.memory_length),
+    )
+    torch.manual_seed(seed)
+    ref = MemTransformerLM(cfg, vocab=list(range(VOCAB_SIZE)))
+    ref.eval()
+    ref.reset_length(1, ICFG.memory_length)
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = flax_params_from_torch_state(state, CFG)
+    model = TransformerXL(vocab_size=VOCAB_SIZE, cfg=CFG)
+    return torch, ref, model, params
+
+
+def _reference_generate(torch, ref, input_data, encoded_meta):
+    """Drive the reference InferenceTask.generate_sequence at temp=0."""
+    from commu.midi_generator.midi_inferrer import InferenceTask
+    from commu.midi_generator.container import TransXlInputData
+
+    tx = TransXlInputData(
+        bpm=input_data.bpm, audio_key=input_data.audio_key,
+        time_signature=input_data.time_signature,
+        pitch_range=input_data.pitch_range,
+        num_measures=input_data.num_measures, inst=input_data.inst,
+        genre=input_data.genre, min_velocity=input_data.min_velocity,
+        max_velocity=input_data.max_velocity,
+        track_role=input_data.track_role, rhythm=input_data.rhythm,
+        output_dir=input_data.output_dir,
+        num_generate=input_data.num_generate, top_k=input_data.top_k,
+        temperature=input_data.temperature,
+        chord_progression=input_data.chord_progression)
+
+    task = InferenceTask(torch.device("cpu"))
+    icfg = types.SimpleNamespace(
+        GENERATION=types.SimpleNamespace(generation_length=GEN_LEN))
+    task(model=ref, input_data=tx, inference_cfg=icfg)
+    with torch.no_grad():
+        seq, mems = task.init_seq_and_mems(list(encoded_meta), len(encoded_meta))
+        return task.generate_sequence(seq, mems)
+
+
+def _host_generate(model, params, input_data, encoded_meta):
+    engine = InferenceEngine(model, params, CFG, ICFG,
+                             capacity=GEN_LEN + 16)
+    seq, cache = engine.prime(list(encoded_meta))
+    rng = np.random.default_rng(0)
+    return generate_sequence(engine, input_data, seq, cache, rng)
+
+
+CHORDS_ONE_PER_BAR = ["c"] * 32
+CHORDS_MULTI = (["c"] * 4 + ["g"] * 4) * 4
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference unavailable")
+@pytest.mark.parametrize("chords,seed", [
+    (CHORDS_ONE_PER_BAR, 0),
+    (CHORDS_MULTI, 1),
+    (CHORDS_ONE_PER_BAR, 2),
+])
+def test_host_sampler_matches_reference(tmp_path, chords, seed):
+    torch, ref, model, params = _models(seed)
+    input_data = _input_data(tmp_path, chords)
+    encoded_meta = encode_meta(input_data.midi_meta())
+
+    ref_seq = _reference_generate(torch, ref, input_data, encoded_meta)
+    our_seq = _host_generate(model, params, input_data, encoded_meta)
+    if ref_seq is None:
+        assert our_seq is None
+    else:
+        assert our_seq == [int(t) for t in ref_seq]
+
+
+@pytest.mark.parametrize("chords,seed", [
+    (CHORDS_ONE_PER_BAR, 0),
+    (CHORDS_MULTI, 1),
+])
+def test_jit_sampler_matches_host(tmp_path, chords, seed):
+    if reference_available():
+        _, _, model, params = _models(seed)
+    else:
+        model = TransformerXL(vocab_size=VOCAB_SIZE, cfg=CFG)
+        dummy_mem = jnp.zeros((N_LAYER + 1, 1, 4, D_MODEL))
+        from commu_tpu.models.transformer_xl import init_memory
+        params = model.init(jax.random.PRNGKey(seed),
+                            jnp.zeros((1, 4), dtype=jnp.int32),
+                            init_memory(N_LAYER, 1, 4, D_MODEL))["params"]
+    input_data = _input_data(tmp_path, chords)
+    encoded_meta = encode_meta(input_data.midi_meta())
+
+    host_seq = _host_generate(model, params, input_data, encoded_meta)
+
+    from commu_tpu.generation import jit_sampler
+    batch = [input_data] * 2  # two identical rows must agree at temp=0
+    episode, chord_cap = jit_sampler.build_episode(
+        model, params, CFG, ICFG, batch, capacity=GEN_LEN + 16)
+    outs, failed, rems = jit_sampler.run_episode(
+        episode, chord_cap, batch, [list(encoded_meta)] * 2,
+        jax.random.PRNGKey(0))
+
+    for g in range(2):
+        if host_seq is None:
+            # host failed => row must fail sampling or validation too
+            ok = (not failed[g]) and jit_sampler._validate(
+                input_data, outs[g], int(rems[g]))
+            assert not ok
+        else:
+            assert not failed[g]
+            assert outs[g] == host_seq, f"row {g}"
