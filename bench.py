@@ -45,16 +45,17 @@ def main():
     key = jax.random.PRNGKey(1)
     batches = [make_batch() for _ in range(4)]
 
-    # warmup / compile
+    # warmup / compile (float() forces a real device->host readback — on the
+    # tunneled runtime block_until_ready alone acks before execution finishes)
     for i in range(3):
         state, memory, metrics = step(state, memory, *batches[i % 4], key)
-    jax.block_until_ready(metrics["nll_sum"])
+    float(metrics["nll_sum"])
 
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, memory, metrics = step(state, memory, *batches[i % 4], key)
-    jax.block_until_ready(metrics["nll_sum"])
+    float(metrics["nll_sum"])
     dt = time.perf_counter() - t0
 
     tokens_per_sec = n_steps * batch * tgt / dt

@@ -20,6 +20,9 @@ class ModelConfig:
     attention_dropout: float = 0.1
     clamp_len: int = -1
     same_length: bool = False
+    # "xla": einsum/softmax path; "pallas": fused VMEM-resident attention
+    # kernel (commu_tpu/ops/fused_attention.py). TPU-only; numerics match.
+    attn_impl: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -66,7 +66,8 @@ class RelMultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic: bool):
+    def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask,
+                 deterministic: bool, pallas_ctx=None):
         cfg = self.cfg
         d_model = cfg.units
         n_head = cfg.num_heads
@@ -90,17 +91,36 @@ class RelMultiHeadAttention(nn.Module):
         r = r.reshape(klen, n_head, d_head)
 
         scale = 1.0 / (d_head ** 0.5)
-        ac = jnp.einsum("bihd,bjhd->bhij", q + r_w_bias.astype(q.dtype), k)
-        bd = jnp.einsum("bihd,jhd->bhij", q + r_r_bias.astype(q.dtype), r)
-        bd = rel_shift(bd)
+        if cfg.attn_impl == "pallas":
+            from ..ops import fused_attention
 
-        score = (ac + bd).astype(jnp.float32) * scale
-        score = jnp.where(mask, -jnp.inf, score)
-        probs = jax.nn.softmax(score, axis=-1)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+            mem_count, reset, same_length = pallas_ctx
+            train_drop = (not deterministic) and cfg.attention_dropout > 0.0
+            if train_drop:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), dtype=jnp.int32)
+            vec = fused_attention.attention(
+                q, k, v, r, r_w_bias, r_r_bias, mem_count, reset,
+                scale=scale, same_length=same_length,
+                dropout_p=cfg.attention_dropout, dropout_seed=seed,
+                train=not deterministic)
+            vec = vec.astype(x.dtype).reshape(batch, tgt_len, n_head * d_head)
+        else:
+            ac = jnp.einsum("bihd,bjhd->bhij", q + r_w_bias.astype(q.dtype), k)
+            bd = jnp.einsum("bihd,jhd->bhij", q + r_r_bias.astype(q.dtype), r)
+            bd = rel_shift(bd)
 
-        vec = jnp.einsum("bhij,bjhd->bihd", probs.astype(v.dtype), v)
-        vec = vec.reshape(batch, tgt_len, n_head * d_head)
+            score = (ac + bd).astype(jnp.float32) * scale
+            score = jnp.where(mask, -jnp.inf, score)
+            probs = jax.nn.softmax(score, axis=-1)
+            probs = nn.Dropout(cfg.attention_dropout)(probs,
+                                                      deterministic=deterministic)
+
+            vec = jnp.einsum("bhij,bjhd->bihd", probs.astype(v.dtype), v)
+            vec = vec.reshape(batch, tgt_len, n_head * d_head)
         out = dense(d_model, "o_net")(vec)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
@@ -137,9 +157,11 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic: bool):
+    def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask,
+                 deterministic: bool, pallas_ctx=None):
         x = RelMultiHeadAttention(self.cfg, self.dtype, name="attn")(
-            x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic)
+            x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic,
+            pallas_ctx)
         return PositionwiseFF(self.cfg, self.dtype, name="ff")(x, deterministic)
 
 
@@ -190,8 +212,15 @@ class TransformerXL(nn.Module):
         word_emb = self.embed(tokens)
         pos_emb = relative_position_embedding(klen, cfg.units, self.dtype, cfg.clamp_len)
 
-        mask = build_attention_mask(
-            tgt_len, mem_capacity, memory.count, reset, same_length, batch)
+        if cfg.attn_impl == "pallas":
+            mask = None
+            reset_rows = reset if reset is not None else \
+                jnp.zeros((batch,), dtype=bool)
+            pallas_ctx = (memory.count, reset_rows, same_length)
+        else:
+            mask = build_attention_mask(
+                tgt_len, mem_capacity, memory.count, reset, same_length, batch)
+            pallas_ctx = None
 
         h = self.emb_dropout(word_emb, deterministic=deterministic)
         pos_emb = self.pos_dropout(pos_emb, deterministic=deterministic)
@@ -199,7 +228,7 @@ class TransformerXL(nn.Module):
         hids = [h]
         for i, layer in enumerate(self.layers):
             h = layer(h, memory.hidden[i], pos_emb, self.r_w_bias, self.r_r_bias,
-                      mask, deterministic)
+                      mask, deterministic, pallas_ctx)
             hids.append(h)
         out = self.out_dropout(h, deterministic=deterministic)
 

@@ -1,0 +1,341 @@
+"""Pallas TPU kernel: fused XL relative-position attention.
+
+The XLA path materializes the [B, H, T, K] score and probability tensors in
+HBM twice per layer (forward) plus again in the backward — at the training
+shape (B=64 per chunk, H=10, T=128, K=1152) that is ~1.1 GB of HBM traffic
+per layer per direction, the dominant cost of the step.  This kernel keeps
+the whole score row-block in VMEM (K=1152 keys x 128 queries x f32 = 590 KB,
+far under the ~16 MB budget), so scores/probabilities never touch HBM:
+
+    grid (B, H); per program:  q[T,dh], k[K,dh], v[K,dh], r_ext[K+T-1,dh]
+        AC   = (q + r_w) @ k^T
+        P    = (q + r_r) @ r_ext^T          # scores vs relative distance
+        BD   = per-row left-shift of P by (T-1-i)   [log-decomposed rolls]
+        S    = (AC + BD) * scale  + mask(causal, invalid-mem, reset, same_len)
+        O    = dropout(softmax(S)) @ v
+
+The per-row shift replaces the reference's ``_rel_shift`` pad/reshape trick
+(reference: commu/model/model.py:251-265) with 7 masked lane-rotations —
+static shapes, no tile-unfriendly reshapes.
+
+Backward is a custom VJP that recomputes the forward in VMEM (flash-style)
+and emits dq (content path), dqr (position path, summed into r_r_bias's grad
+outside), dk, dv and dR (accumulated across the sequential batch grid axis).
+Attention dropout regenerates the same mask from the same per-(b,h) seed.
+
+Numerics match the XLA path to bf16/f32 tolerance (tests/test_fused_attention.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _row_shift(x, row_iota, direction: int, t: int):
+    """Shift row i of ``x`` left (direction=+1) or right (-1) by (t-1-i)
+    lanes, via log2 decomposition into masked rolls.  x: [T, W]."""
+    width = x.shape[1]
+    shift = t - 1 - row_iota  # [T, 1]
+    bit = 1
+    while bit < t:
+        take = (shift & bit) != 0
+        # pltpu.roll requires a non-negative shift; a left-rotate by `bit`
+        # is a right-rotate by `width - bit`.
+        amount = (width - bit) if direction > 0 else bit
+        rolled = pltpu.roll(x, amount, axis=1)
+        x = jnp.where(take, rolled, x)
+        bit <<= 1
+    return x
+
+
+def _mask(s, t, k_len, mem_capacity, mem_count, reset_b, same_length):
+    i = jax.lax.broadcasted_iota(jnp.int32, (t, k_len), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (t, k_len), 1)
+    blocked = j >= mem_capacity + i + 1
+    blocked |= j < mem_capacity - mem_count
+    blocked |= reset_b & (j < mem_capacity)
+    if same_length:
+        mask_len = mem_count + t - mem_capacity
+        shift = t - jnp.maximum(mask_len, 0)
+        blocked |= j <= i - shift + (mem_capacity - mem_count)
+    return jnp.where(blocked, NEG_INF, s)
+
+
+def _attn_core(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
+               b, h, *, t, k_len, scale, same_length, dropout_p, train):
+    """Shared forward computation -> (probs f32 [T,K], q, k, v, qr)."""
+    q = q_ref[0, 0, :, :].astype(jnp.float32)        # [T, dh]
+    k = k_ref[0, 0, :, :].astype(jnp.float32)        # [K, dh]
+    r = r_ref[0, :, :].astype(jnp.float32)           # [width, dh]
+    rw = rw_ref[0, 0, :].astype(jnp.float32)         # [dh]
+    rr = rr_ref[0, 0, :].astype(jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    qw = q + rw[None, :]
+    qr = q + rr[None, :]
+    ac = jax.lax.dot_general(qw, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)      # [T,K]
+    p_ext = jax.lax.dot_general(qr, r, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)   # [T,K+T-1pad]
+    bd = _row_shift(p_ext, row, +1, t)[:, :k_len]
+
+    mem_count = scalar_ref[0]
+    reset_b = scalar_ref[2 + b] != 0
+    s = (ac + bd) * scale
+    s = _mask(s, t, k_len, k_len - t, mem_count, reset_b, same_length)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    probs = e / jnp.sum(e, axis=1, keepdims=True)
+
+    if train and dropout_p > 0.0:
+        pltpu.prng_seed(scalar_ref[1] + b * 4096 + h)
+        bits = pltpu.prng_random_bits(probs.shape)
+        keep = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) >= dropout_p
+        probs = jnp.where(keep, probs / (1.0 - dropout_p), 0.0)
+
+    return probs, q, k, v_ref[0, 0, :, :].astype(jnp.float32), qw, qr
+
+
+def _fwd_kernel(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
+                o_ref, *, t, k_len, scale, same_length, dropout_p, train):
+    b, h = pl.program_id(0), pl.program_id(1)
+    probs, _, _, v, _, _ = _attn_core(
+        scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref, b, h,
+        t=t, k_len=k_len, scale=scale, same_length=same_length,
+        dropout_p=dropout_p, train=train)
+    o = jax.lax.dot_general(probs, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
+                do_ref, dq_ref, dqr_ref, dk_ref, dv_ref, dr_ref,
+                *, t, k_len, scale, same_length, dropout_p, train):
+    h, b = pl.program_id(0), pl.program_id(1)  # b sequential for dR accum
+    probs, q, k, v, qw, qr = _attn_core(
+        scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref, b, h,
+        t=t, k_len=k_len, scale=scale, same_length=same_length,
+        dropout_p=dropout_p, train=train)
+    do = do_ref[0, 0, :, :].astype(jnp.float32)                       # [T,dh]
+
+    dv = jax.lax.dot_general(probs, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)      # [K,dh]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)      # [T,K]
+    # softmax (+dropout) backward: with dropout, probs already carries the
+    # keep/(1-p) factor, and d(softmax_out) = dp * keep/(1-p) happens via the
+    # same masked probs product below.
+    ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
+    ds = ds * scale                                                   # [T,K]
+
+    dq_ac = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)   # [T,dh]
+    dk = jax.lax.dot_general(ds, qw, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)      # [K,dh]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    width = dr_ref.shape[1]
+    ds_pad = jnp.pad(ds, ((0, 0), (0, width - k_len)))
+    dp_ext = _row_shift(ds_pad, row, -1, t)                           # [T,K+T-1]
+    r = r_ref[0, :, :].astype(jnp.float32)
+    dqr = jax.lax.dot_general(dp_ext, r, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)     # [T,dh]
+    dr = jax.lax.dot_general(dp_ext, qr, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)      # [W,dh]
+
+    dq_ref[0, 0, :, :] = dq_ac.astype(dq_ref.dtype)
+    dqr_ref[0, 0, :, :] = dqr.astype(dqr_ref.dtype)
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+    @pl.when(b == 0)
+    def _init():
+        dr_ref[0, :, :] = dr.astype(dr_ref.dtype)
+
+    @pl.when(b != 0)
+    def _accum():
+        dr_ref[0, :, :] += dr.astype(dr_ref.dtype)
+
+
+def _pad_dh(x, dh_pad):
+    pad = dh_pad - x.shape[-1]
+    return x if pad == 0 else jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+def _scalars(mem_count, dropout_seed, reset, batch):
+    if reset is None:
+        reset = jnp.zeros((batch,), dtype=jnp.int32)
+    return jnp.concatenate([
+        jnp.asarray(mem_count, jnp.int32).reshape(1),
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1),
+        reset.astype(jnp.int32).reshape(batch),
+    ])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_rel_attention(q, k, v, r, r_w_bias, r_r_bias, scalars,
+                        scale, same_length, dropout_p, train):
+    """Fused XL attention.
+
+    q: [B, T, H, dh]; k, v: [B, K, H, dh]; r: [K, H, dh] (distance-descending,
+    the model's layout); r_w_bias/r_r_bias: [H, dh];
+    scalars: int32 [2 + B] = [mem_count, dropout_seed, reset_rows...].
+    Returns [B, T, H, dh] (f32).
+    """
+    out, _ = _fused_fwd(q, k, v, r, r_w_bias, r_r_bias, scalars,
+                        scale, same_length, dropout_p, train)
+    return out
+
+
+def _fused_fwd(q, k, v, r, r_w_bias, r_r_bias, scalars,
+               scale, same_length, dropout_p, train):
+    batch, t, heads, dh0 = q.shape
+    k_len = k.shape[1]
+    dh = max(64, ((dh0 + 63) // 64) * 64)
+    width = k_len + t  # r extended with zero rows for never-used diagonals
+
+    qp = _pad_dh(q, dh).transpose(0, 2, 1, 3)        # [B,H,T,dh]
+    kp = _pad_dh(k, dh).transpose(0, 2, 1, 3)        # [B,H,K,dh]
+    vp = _pad_dh(v, dh).transpose(0, 2, 1, 3)
+    r_ext = _pad_dh(jnp.pad(r, ((0, t), (0, 0), (0, 0))), dh)
+    r_ext = r_ext.transpose(1, 0, 2)                 # [H,width,dh]
+    rwp = _pad_dh(r_w_bias, dh)[:, None, :]          # [H,1,dh]
+    rrp = _pad_dh(r_r_bias, dh)[:, None, :]
+
+    kernel = functools.partial(
+        _fwd_kernel, t=t, k_len=k_len, scale=scale,
+        same_length=same_length, dropout_p=dropout_p, train=train)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, heads),
+        in_specs=[
+            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width, dh), lambda b, h, s: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), lambda b, h, s: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), lambda b, h, s: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, heads, t, dh), jnp.float32),
+        interpret=_interpret(),
+    )(scalars, qp, kp, vp, r_ext, rwp, rrp)
+    out = out.transpose(0, 2, 1, 3)[..., :dh0]       # [B,T,H,dh0]
+    return out, (q, k, v, r, r_w_bias, r_r_bias, scalars)
+
+
+def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
+    q, k, v, r, r_w_bias, r_r_bias, scalars = residuals
+    batch, t, heads, dh0 = q.shape
+    k_len = k.shape[1]
+    dh = max(64, ((dh0 + 63) // 64) * 64)
+    width = k_len + t
+
+    qp = _pad_dh(q, dh).transpose(0, 2, 1, 3)
+    kp = _pad_dh(k, dh).transpose(0, 2, 1, 3)
+    vp = _pad_dh(v, dh).transpose(0, 2, 1, 3)
+    r_ext = _pad_dh(jnp.pad(r, ((0, t), (0, 0), (0, 0))), dh)
+    r_ext = r_ext.transpose(1, 0, 2)
+    rwp = _pad_dh(r_w_bias, dh)[:, None, :]
+    rrp = _pad_dh(r_r_bias, dh)[:, None, :]
+    dop = _pad_dh(g.astype(jnp.float32), dh).transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(
+        _bwd_kernel, t=t, k_len=k_len, scale=scale,
+        same_length=same_length, dropout_p=dropout_p, train=train)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(heads, batch),   # batch sequential: dR accumulates per head
+        in_specs=[
+            pl.BlockSpec((1, 1, t, dh), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_len, dh), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_len, dh), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width, dh), lambda h, b, s: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), lambda h, b, s: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), lambda h, b, s: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, dh), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, t, dh), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, dh), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_len, dh), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_len, dh), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width, dh), lambda h, b, s: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    dq_ac, dqr, dk, dv, dr_ext = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, heads, t, dh), jnp.float32),
+            jax.ShapeDtypeStruct((batch, heads, t, dh), jnp.float32),
+            jax.ShapeDtypeStruct((batch, heads, k_len, dh), jnp.float32),
+            jax.ShapeDtypeStruct((batch, heads, k_len, dh), jnp.float32),
+            jax.ShapeDtypeStruct((heads, width, dh), jnp.float32),
+        ],
+    )(scalars, qp, kp, vp, r_ext, rwp, rrp, dop)
+
+    dq_ac = dq_ac.transpose(0, 2, 1, 3)
+    dqr = dqr.transpose(0, 2, 1, 3)
+    dq = (dq_ac + dqr)[..., :dh0].astype(q.dtype)
+    dk = dk.transpose(0, 2, 1, 3)[..., :dh0].astype(k.dtype)
+    dv = dv.transpose(0, 2, 1, 3)[..., :dh0].astype(v.dtype)
+    dr = dr_ext.transpose(1, 0, 2)[:k_len, :, :dh0].astype(r.dtype)
+    d_rw = dq_ac[..., :dh0].sum(axis=(0, 1)).astype(r_w_bias.dtype)
+    d_rr = dqr[..., :dh0].sum(axis=(0, 1)).astype(r_r_bias.dtype)
+    return dq, dk, dv, dr, d_rw, d_rr, None
+
+
+fused_rel_attention.defvjp(
+    lambda q, k, v, r, rw, rr, s, scale, sl, dp, tr: _fused_fwd(
+        q, k, v, r, rw, rr, s, scale, sl, dp, tr),
+    _fused_bwd,
+)
+
+
+def attention(q, k, v, r, r_w_bias, r_r_bias, mem_count,
+              reset: Optional[jnp.ndarray], *, scale, same_length,
+              dropout_p=0.0, dropout_seed=0, train=False):
+    """Convenience wrapper building the scalar block."""
+    scalars = _scalars(mem_count, dropout_seed, reset, q.shape[0])
+    return fused_rel_attention(q, k, v, r, r_w_bias, r_r_bias, scalars,
+                               scale, same_length, dropout_p, train)

@@ -45,8 +45,10 @@ class Trainer:
     def __init__(self, data_dir: str, work_dir: str,
                  cfg: Optional[TrainingConfig] = None,
                  num_devices: Optional[int] = None,
-                 model_dtype=jnp.bfloat16):
+                 model_dtype=jnp.bfloat16, profile: bool = False):
         self.cfg = cfg or TrainingConfig()
+        self.model_dtype = model_dtype
+        self.profile = profile
         self.data_dir = data_dir
         self.work_dir = work_dir
         self.mesh = make_mesh(num_devices)
@@ -102,7 +104,8 @@ class Trainer:
                 self.eval_batch, ecfg.tgt_length, split=split):
             if batch.reset[0] or memory is None:
                 memory = init_memory(self.cfg.model.num_layers, self.eval_batch,
-                                     ecfg.mem_length, self.cfg.model.units)
+                                     ecfg.mem_length, self.cfg.model.units,
+                                     dtype=self.model_dtype)
             reset = np.zeros(self.eval_batch, dtype=bool)
             nll_sum, tok, memory = self.eval_step(
                 self.state.params, memory, batch.inputs, batch.targets, reset)
@@ -116,7 +119,8 @@ class Trainer:
         tcfg = self.cfg.train
         max_step = max_step or tcfg.max_step
         memory = init_memory(self.cfg.model.num_layers, tcfg.batch_size,
-                             tcfg.mem_length, self.cfg.model.units)
+                             tcfg.mem_length, self.cfg.model.units,
+                             dtype=self.model_dtype)
 
         it = self.dataset.train_iterator(
             tcfg.batch_size, tcfg.tgt_length, shuffle=True, seed=tcfg.seed)
@@ -126,15 +130,26 @@ class Trainer:
         log_start = time.time()
         step = int(self.state.step)
 
+        # profiler trace over steps [4, 10) — past compile, short enough to
+        # inspect (SURVEY §5: the reference has no profiling layer at all)
+        profile_start, profile_stop = step + 4, step + 10
+
         for batch in it:
             if step >= max_step:
                 break
+            if self.profile and step == profile_start:
+                jax.profiler.start_trace(str(self.ckpts.work_dir / "profile"))
             self.state, memory, metrics = self.train_step(
                 self.state, memory, batch.inputs, batch.targets, batch.reset,
                 self.run_rng)
             log_metrics.append(metrics)
             log_tokens += batch.token_count
             step += 1
+            if self.profile and step == profile_stop:
+                jax.block_until_ready(metrics["nll_sum"])
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s",
+                            self.ckpts.work_dir / "profile")
 
             if step % tcfg.log_interval == 0:
                 nll_sum = float(sum(float(m["nll_sum"]) for m in log_metrics))

@@ -100,26 +100,75 @@ def chunked_masked_nll(logits: jnp.ndarray, targets: jnp.ndarray,
 
 
 def make_train_step(model: TransformerXL, cfg: TrainingConfig,
-                    num_devices: int = 1) -> Callable:
-    """Build the fused train step: (state, memory, batch, rng) -> updated."""
+                    num_devices: int = 1, *, remat: bool = True) -> Callable:
+    """Build the train step: (state, memory, batch, rng) -> updated.
+
+    The batch is processed as ``batch_chunk`` micro-batches via ``lax.scan``
+    with gradient accumulation — the reference's within-step chunking
+    (train.py:123-165), which on TPU is also what bounds peak activation
+    memory (a fused 256x128 backward over klen 1152 does not fit one chip's
+    HBM).  Each chunk carries its own rows of the XL memory, exactly like the
+    reference's per-chunk ``mems[i]`` streams.  ``remat`` rematerializes the
+    per-chunk forward during the backward pass, dropping stored attention
+    probabilities in exchange for ~1/3 more FLOPs.
+    """
     tx = make_optimizer(cfg, num_devices)
-    num_chunks = cfg.train.batch_chunk * num_devices
+    n_chunks = cfg.train.batch_chunk
     clip = cfg.train.clip
 
-    def loss_fn(params, memory: Memory, inputs, targets, reset, dropout_rng):
-        (logits, new_memory) = model.apply(
+    def chunk_loss(params, memory: Memory, inputs, targets, reset, dropout_rng):
+        logits, new_memory = model.apply(
             {"params": params}, inputs, memory, reset,
             same_length=cfg.model.same_length, deterministic=False,
             rngs={"dropout": dropout_rng})
-        loss, nll_sum, token_count = chunked_masked_nll(logits, targets, num_chunks)
-        return loss, (new_memory, nll_sum, token_count)
+        # per-device sub-chunk means reproduce the reference's per-rank chunk
+        # loss under DDP averaging (see chunked_masked_nll)
+        loss, nll_sum, token_count = chunked_masked_nll(logits, targets,
+                                                        num_devices)
+        return loss / n_chunks, (new_memory, nll_sum, token_count)
+
+    if remat:
+        chunk_loss = jax.checkpoint(chunk_loss)
 
     def train_step(state: TrainState, memory: Memory, inputs, targets, reset,
                    rng: jax.Array):
-        dropout_rng = jax.random.fold_in(rng, state.step)
-        grads, (new_memory, nll_sum, token_count) = jax.grad(
-            loss_fn, has_aux=True)(state.params, memory, inputs, targets,
-                                   reset, dropout_rng)
+        base_rng = jax.random.fold_in(rng, state.step)
+        batch = inputs.shape[0]
+        b = batch // n_chunks
+
+        def to_chunks(x):  # [B, ...] -> [C, B/C, ...]
+            return x.reshape((n_chunks, b) + x.shape[1:])
+
+        mem_chunks = Memory(
+            hidden=jnp.moveaxis(
+                memory.hidden.reshape(memory.hidden.shape[0], n_chunks, b,
+                                      *memory.hidden.shape[2:]), 1, 0),
+            count=memory.count)
+
+        grad_zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+
+        def scan_body(carry, xs):
+            grads_acc, nll_acc, tok_acc = carry
+            chunk_idx, chunk_in, chunk_tgt, chunk_reset, chunk_mem_h = xs
+            chunk_mem = Memory(hidden=chunk_mem_h, count=memory.count)
+            rng_c = jax.random.fold_in(base_rng, chunk_idx)
+            grads, (new_mem, nll_sum, tok) = jax.grad(
+                chunk_loss, has_aux=True)(state.params, chunk_mem, chunk_in,
+                                          chunk_tgt, chunk_reset, rng_c)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, nll_acc + nll_sum, tok_acc + tok), new_mem.hidden
+
+        (grads, nll_sum, token_count), new_hidden = jax.lax.scan(
+            scan_body, (grad_zero, 0.0, 0.0),
+            (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
+             to_chunks(reset), mem_chunks.hidden))
+
+        new_memory = Memory(
+            hidden=jnp.moveaxis(new_hidden, 0, 1).reshape(memory.hidden.shape),
+            count=jnp.minimum(memory.count + inputs.shape[1],
+                              memory.hidden.shape[2]))
+
         grads, grad_norm = _clip_by_global_norm(grads, clip)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

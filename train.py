@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="SECTION.FIELD=VALUE",
                    help="config override, e.g. --set train.batch_size=16")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 4-10 into "
+                        "work_dir/profile")
     return p.parse_args()
 
 
@@ -70,7 +73,8 @@ def main():
     cfg = apply_overrides(get_default_cfg_training(), args.overrides)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     trainer = Trainer(args.data_dir, work_dir, cfg,
-                      num_devices=args.num_devices, model_dtype=dtype)
+                      num_devices=args.num_devices, model_dtype=dtype,
+                      profile=args.profile)
     logger.info("devices=%d, global batch=%d, model dtype=%s",
                 trainer.num_devices, cfg.train.batch_size, args.dtype)
     if args.resume:
