@@ -22,8 +22,9 @@ def main():
     import numpy as np
 
     from commu_tpu.config import get_default_cfg_training
-    from commu_tpu.models.transformer_xl import TransformerXL, init_memory
-    from commu_tpu.training.step import create_train_state, make_train_step
+    from commu_tpu.models.transformer_xl import TransformerXL
+    from commu_tpu.training.step import (create_train_state, init_train_memory,
+                                         make_train_step)
     from commu_tpu.vocab.event_tokens import VOCAB_SIZE
 
     cfg = get_default_cfg_training()
@@ -33,8 +34,9 @@ def main():
     model = TransformerXL(VOCAB_SIZE, cfg.model, dtype=jnp.bfloat16)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg)
     step = jax.jit(make_train_step(model, cfg), donate_argnums=(0, 1))
-    memory = init_memory(cfg.model.num_layers, batch, tcfg.mem_length,
-                         cfg.model.units)
+    memory = init_train_memory(cfg.model.num_layers, batch, tcfg.mem_length,
+                               cfg.model.units, tcfg.batch_chunk,
+                               dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     def make_batch():

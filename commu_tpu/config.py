@@ -20,9 +20,10 @@ class ModelConfig:
     attention_dropout: float = 0.1
     clamp_len: int = -1
     same_length: bool = False
-    # "xla": einsum/softmax path; "pallas": fused VMEM-resident attention
-    # kernel (commu_tpu/ops/fused_attention.py). TPU-only; numerics match.
-    attn_impl: str = "xla"
+    # "pallas": fused VMEM-resident attention kernel
+    # (commu_tpu/ops/fused_attention.py); "xla": einsum/softmax path;
+    # "auto": pallas on TPU, xla elsewhere. Numerics match either way.
+    attn_impl: str = "auto"
 
 
 @dataclass(frozen=True)

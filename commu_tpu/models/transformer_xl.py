@@ -31,6 +31,13 @@ from ..config import ModelConfig
 from ..ops.rel_attention import build_attention_mask, rel_shift, relative_position_embedding
 
 
+def resolve_attn_impl(cfg: ModelConfig) -> str:
+    """'auto' -> the fused Pallas kernel on TPU, the XLA path elsewhere."""
+    if cfg.attn_impl != "auto":
+        return cfg.attn_impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 @struct.dataclass
 class Memory:
     """Rolling hidden-state cache: one stream per layer plus the embedding
@@ -91,7 +98,7 @@ class RelMultiHeadAttention(nn.Module):
         r = r.reshape(klen, n_head, d_head)
 
         scale = 1.0 / (d_head ** 0.5)
-        if cfg.attn_impl == "pallas":
+        if resolve_attn_impl(cfg) == "pallas":
             from ..ops import fused_attention
 
             mem_count, reset, same_length = pallas_ctx
@@ -212,7 +219,7 @@ class TransformerXL(nn.Module):
         word_emb = self.embed(tokens)
         pos_emb = relative_position_embedding(klen, cfg.units, self.dtype, cfg.clamp_len)
 
-        if cfg.attn_impl == "pallas":
+        if resolve_attn_impl(cfg) == "pallas":
             mask = None
             reset_rows = reset if reset is not None else \
                 jnp.zeros((batch,), dtype=bool)
@@ -268,3 +275,27 @@ def token_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Per-token negative log-likelihood [B, T] (reference: model.py:64-73)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+
+
+def gumbel_softmax(logits: jnp.ndarray, temperature: float,
+                   rng: jax.Array) -> jnp.ndarray:
+    """Straight-through Gumbel-softmax over the vocabulary: hard one-hot in
+    the forward pass, soft-sample gradients in the backward
+    (reference: model.py:630-676 ``forward_generate_gumbel``'s sampler)."""
+    eps = 1e-20
+    u = jax.random.uniform(rng, logits.shape)
+    g = -jnp.log(-jnp.log(u + eps) + eps)
+    y = jax.nn.softmax((logits + g) / temperature, axis=-1)
+    hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1],
+                          dtype=y.dtype)
+    return jax.lax.stop_gradient(hard - y) + y
+
+
+def forward_generate_gumbel(model: "TransformerXL", params, tokens: jnp.ndarray,
+                            memory: Memory, temperature: float,
+                            rng: jax.Array):
+    """(one-hot gumbel samples [B, T, V], new memory) — functional equivalent
+    of the reference's ``forward_generate_gumbel`` (model.py:630-676)."""
+    logits, new_memory = model.apply({"params": params}, tokens, memory,
+                                     deterministic=True)
+    return gumbel_softmax(logits, temperature, rng), new_memory

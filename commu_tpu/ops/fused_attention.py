@@ -20,7 +20,8 @@ static shapes, no tile-unfriendly reshapes.
 
 Backward is a custom VJP that recomputes the forward in VMEM (flash-style)
 and emits dq (content path), dqr (position path, summed into r_r_bias's grad
-outside), dk, dv and dR (accumulated across the sequential batch grid axis).
+outside), dk, dv and per-(b,h) dR partials (reduced over batch outside the
+kernel — XLA's reduction is faster than sequential-grid accumulation).
 Attention dropout regenerates the same mask from the same per-(b,h) seed.
 
 Numerics match the XLA path to bf16/f32 tolerance (tests/test_fused_attention.py).
@@ -73,18 +74,24 @@ def _mask(s, t, k_len, mem_capacity, mem_count, reset_b, same_length):
     return jnp.where(blocked, NEG_INF, s)
 
 
-def _attn_core(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
+def _attn_core(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
                b, h, *, t, k_len, scale, same_length, dropout_p, train):
-    """Shared forward computation -> (probs f32 [T,K], q, k, v, qr)."""
-    q = q_ref[0, 0, :, :].astype(jnp.float32)        # [T, dh]
-    k = k_ref[0, 0, :, :].astype(jnp.float32)        # [K, dh]
-    r = r_ref[0, :, :].astype(jnp.float32)           # [width, dh]
-    rw = rw_ref[0, 0, :].astype(jnp.float32)         # [dh]
-    rr = rr_ref[0, 0, :].astype(jnp.float32)
+    """Shared forward computation -> (probs f32 [T,K], qw, k, v, qr).
+
+    The content/position biases are folded into the two query streams
+    OUTSIDE the kernel (qw = q + r_w_bias, qr = q + r_r_bias): tiny
+    [1,1,dh] bias blocks deadlock the runtime's DMA path, and the fold is
+    free in XLA anyway.
+    """
+    # operands stay in their storage dtype (bf16 in training): the MXU
+    # multiplies bf16 natively with f32 accumulation via
+    # preferred_element_type — casting to f32 first would halve throughput
+    qw = qw_ref[0, 0, :, :]                          # [T, dh]
+    qr = qr_ref[0, 0, :, :]                          # [T, dh]
+    k = k_ref[0, 0, :, :]                            # [K, dh]
+    r = r_ref[0, :, :]                               # [width, dh]
 
     row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-    qw = q + rw[None, :]
-    qr = q + rr[None, :]
     ac = jax.lax.dot_general(qw, k, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)      # [T,K]
     p_ext = jax.lax.dot_general(qr, r, (((1,), (1,)), ((), ())),
@@ -106,32 +113,33 @@ def _attn_core(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
         keep = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) >= dropout_p
         probs = jnp.where(keep, probs / (1.0 - dropout_p), 0.0)
 
-    return probs, q, k, v_ref[0, 0, :, :].astype(jnp.float32), qw, qr
+    return probs, qw, k, v_ref[0, 0, :, :], qr
 
 
-def _fwd_kernel(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
+def _fwd_kernel(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
                 o_ref, *, t, k_len, scale, same_length, dropout_p, train):
     b, h = pl.program_id(0), pl.program_id(1)
-    probs, _, _, v, _, _ = _attn_core(
-        scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref, b, h,
+    probs, _, _, v, _ = _attn_core(
+        scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref, b, h,
         t=t, k_len=k_len, scale=scale, same_length=same_length,
         dropout_p=dropout_p, train=train)
-    o = jax.lax.dot_general(probs, v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
+def _bwd_kernel(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
                 do_ref, dq_ref, dqr_ref, dk_ref, dv_ref, dr_ref,
                 *, t, k_len, scale, same_length, dropout_p, train):
-    h, b = pl.program_id(0), pl.program_id(1)  # b sequential for dR accum
-    probs, q, k, v, qw, qr = _attn_core(
-        scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref, b, h,
+    b, h = pl.program_id(0), pl.program_id(1)
+    probs, qw, k, v, qr = _attn_core(
+        scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref, b, h,
         t=t, k_len=k_len, scale=scale, same_length=same_length,
         dropout_p=dropout_p, train=train)
-    do = do_ref[0, 0, :, :].astype(jnp.float32)                       # [T,dh]
+    do = do_ref[0, 0, :, :]                                           # [T,dh]
 
-    dv = jax.lax.dot_general(probs, do, (((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(probs.astype(do.dtype), do,
+                             (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)      # [K,dh]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)      # [T,K]
@@ -141,16 +149,19 @@ def _bwd_kernel(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
     ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
     ds = ds * scale                                                   # [T,K]
 
-    dq_ac = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    ds_c = ds.astype(k.dtype)
+    dq_ac = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)   # [T,dh]
-    dk = jax.lax.dot_general(ds, qw, (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(ds_c, qw, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)      # [K,dh]
 
     row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-    width = dr_ref.shape[1]
+    width = r_ref.shape[1]
+    # the TPU dynamic-rotate only supports 32-bit lanes: shift in f32, then
+    # cast for the MXU
     ds_pad = jnp.pad(ds, ((0, 0), (0, width - k_len)))
-    dp_ext = _row_shift(ds_pad, row, -1, t)                           # [T,K+T-1]
-    r = r_ref[0, :, :].astype(jnp.float32)
+    dp_ext = _row_shift(ds_pad, row, -1, t).astype(k.dtype)           # [T,K+T-1]
+    r = r_ref[0, :, :]
     dqr = jax.lax.dot_general(dp_ext, r, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)     # [T,dh]
     dr = jax.lax.dot_general(dp_ext, qr, (((0,), (0,)), ((), ())),
@@ -160,19 +171,7 @@ def _bwd_kernel(scalar_ref, q_ref, k_ref, v_ref, r_ref, rw_ref, rr_ref,
     dqr_ref[0, 0, :, :] = dqr.astype(dqr_ref.dtype)
     dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
-
-    @pl.when(b == 0)
-    def _init():
-        dr_ref[0, :, :] = dr.astype(dr_ref.dtype)
-
-    @pl.when(b != 0)
-    def _accum():
-        dr_ref[0, :, :] += dr.astype(dr_ref.dtype)
-
-
-def _pad_dh(x, dh_pad):
-    pad = dh_pad - x.shape[-1]
-    return x if pad == 0 else jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    dr_ref[0, 0, :, :] = dr[:k_len].astype(dr_ref.dtype)
 
 
 def _scalars(mem_count, dropout_seed, reset, batch):
@@ -202,18 +201,15 @@ def fused_rel_attention(q, k, v, r, r_w_bias, r_r_bias, scalars,
 
 def _fused_fwd(q, k, v, r, r_w_bias, r_r_bias, scalars,
                scale, same_length, dropout_p, train):
-    batch, t, heads, dh0 = q.shape
+    batch, t, heads, dh = q.shape
     k_len = k.shape[1]
-    dh = max(64, ((dh0 + 63) // 64) * 64)
     width = k_len + t  # r extended with zero rows for never-used diagonals
 
-    qp = _pad_dh(q, dh).transpose(0, 2, 1, 3)        # [B,H,T,dh]
-    kp = _pad_dh(k, dh).transpose(0, 2, 1, 3)        # [B,H,K,dh]
-    vp = _pad_dh(v, dh).transpose(0, 2, 1, 3)
-    r_ext = _pad_dh(jnp.pad(r, ((0, t), (0, 0), (0, 0))), dh)
-    r_ext = r_ext.transpose(1, 0, 2)                 # [H,width,dh]
-    rwp = _pad_dh(r_w_bias, dh)[:, None, :]          # [H,1,dh]
-    rrp = _pad_dh(r_r_bias, dh)[:, None, :]
+    qwp = (q + r_w_bias[None, None]).transpose(0, 2, 1, 3)
+    qrp = (q + r_r_bias[None, None]).transpose(0, 2, 1, 3)
+    kp = k.transpose(0, 2, 1, 3)                     # [B,H,K,dh]
+    vp = v.transpose(0, 2, 1, 3)
+    r_ext = jnp.pad(r, ((0, t), (0, 0), (0, 0))).transpose(1, 0, 2)  # [H,width,dh]
 
     kernel = functools.partial(
         _fwd_kernel, t=t, k_len=k_len, scale=scale,
@@ -225,15 +221,13 @@ def _fused_fwd(q, k, v, r, r_w_bias, r_r_bias, scalars,
         in_specs=[
             pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, width, dh), lambda b, h, s: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, dh), lambda b, h, s: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, dh), lambda b, h, s: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
@@ -242,28 +236,25 @@ def _fused_fwd(q, k, v, r, r_w_bias, r_r_bias, scalars,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, heads, t, dh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, t, dh), q.dtype),
         interpret=_interpret(),
-    )(scalars, qp, kp, vp, r_ext, rwp, rrp)
-    out = out.transpose(0, 2, 1, 3)[..., :dh0]       # [B,T,H,dh0]
+    )(scalars, qwp, qrp, kp, vp, r_ext)
+    out = out.transpose(0, 2, 1, 3)                  # [B,T,H,dh]
     return out, (q, k, v, r, r_w_bias, r_r_bias, scalars)
 
 
 def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
     q, k, v, r, r_w_bias, r_r_bias, scalars = residuals
-    batch, t, heads, dh0 = q.shape
+    batch, t, heads, dh = q.shape
     k_len = k.shape[1]
-    dh = max(64, ((dh0 + 63) // 64) * 64)
     width = k_len + t
 
-    qp = _pad_dh(q, dh).transpose(0, 2, 1, 3)
-    kp = _pad_dh(k, dh).transpose(0, 2, 1, 3)
-    vp = _pad_dh(v, dh).transpose(0, 2, 1, 3)
-    r_ext = _pad_dh(jnp.pad(r, ((0, t), (0, 0), (0, 0))), dh)
-    r_ext = r_ext.transpose(1, 0, 2)
-    rwp = _pad_dh(r_w_bias, dh)[:, None, :]
-    rrp = _pad_dh(r_r_bias, dh)[:, None, :]
-    dop = _pad_dh(g.astype(jnp.float32), dh).transpose(0, 2, 1, 3)
+    qwp = (q + r_w_bias[None, None]).transpose(0, 2, 1, 3)
+    qrp = (q + r_r_bias[None, None]).transpose(0, 2, 1, 3)
+    kp = k.transpose(0, 2, 1, 3)
+    vp = v.transpose(0, 2, 1, 3)
+    r_ext = jnp.pad(r, ((0, t), (0, 0), (0, 0))).transpose(1, 0, 2)
+    dop = g.astype(q.dtype).transpose(0, 2, 1, 3)
 
     kernel = functools.partial(
         _bwd_kernel, t=t, k_len=k_len, scale=scale,
@@ -271,57 +262,57 @@ def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(heads, batch),   # batch sequential: dR accumulates per head
+        grid=(batch, heads),
         in_specs=[
-            pl.BlockSpec((1, 1, t, dh), lambda h, b, s: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda h, b, s: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda h, b, s: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, width, dh), lambda h, b, s: (h, 0, 0),
+            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, dh), lambda h, b, s: (h, 0, 0),
+            pl.BlockSpec((1, width, dh), lambda b, h, s: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, dh), lambda h, b, s: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, dh), lambda h, b, s: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, t, dh), lambda h, b, s: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, dh), lambda h, b, s: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda h, b, s: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda h, b, s: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, width, dh), lambda h, b, s: (h, 0, 0),
+            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
-    dq_ac, dqr, dk, dv, dr_ext = pl.pallas_call(
+    dq_ac, dqr, dk, dv, dr_bh = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=_interpret(),
         out_shape=[
-            jax.ShapeDtypeStruct((batch, heads, t, dh), jnp.float32),
-            jax.ShapeDtypeStruct((batch, heads, t, dh), jnp.float32),
+            jax.ShapeDtypeStruct((batch, heads, t, dh), q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, t, dh), q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, k_len, dh), q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, k_len, dh), q.dtype),
             jax.ShapeDtypeStruct((batch, heads, k_len, dh), jnp.float32),
-            jax.ShapeDtypeStruct((batch, heads, k_len, dh), jnp.float32),
-            jax.ShapeDtypeStruct((heads, width, dh), jnp.float32),
         ],
-    )(scalars, qp, kp, vp, r_ext, rwp, rrp, dop)
+    )(scalars, qwp, qrp, kp, vp, r_ext, dop)
+    # [k_len, heads, dh]; rows past k_len are exactly zero (causal mask)
+    dr_ext = dr_bh.sum(axis=0, dtype=jnp.float32).transpose(1, 0, 2)
 
     dq_ac = dq_ac.transpose(0, 2, 1, 3)
     dqr = dqr.transpose(0, 2, 1, 3)
-    dq = (dq_ac + dqr)[..., :dh0].astype(q.dtype)
-    dk = dk.transpose(0, 2, 1, 3)[..., :dh0].astype(k.dtype)
-    dv = dv.transpose(0, 2, 1, 3)[..., :dh0].astype(v.dtype)
-    dr = dr_ext.transpose(1, 0, 2)[:k_len, :, :dh0].astype(r.dtype)
-    d_rw = dq_ac[..., :dh0].sum(axis=(0, 1)).astype(r_w_bias.dtype)
-    d_rr = dqr[..., :dh0].sum(axis=(0, 1)).astype(r_r_bias.dtype)
+    dq = (dq_ac + dqr).astype(q.dtype)
+    dk = dk.transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv.transpose(0, 2, 1, 3).astype(v.dtype)
+    dr = dr_ext.astype(r.dtype)
+    d_rw = dq_ac.sum(axis=(0, 1), dtype=jnp.float32).astype(r_w_bias.dtype)
+    d_rr = dqr.sum(axis=(0, 1), dtype=jnp.float32).astype(r_r_bias.dtype)
     return dq, dk, dv, dr, d_rw, d_rr, None
 
 

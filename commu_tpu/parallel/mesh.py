@@ -56,6 +56,13 @@ def _memory_shardings(mesh: Mesh):
     return Memory(hidden=memory_sharding(mesh), count=replicated(mesh))
 
 
+def _train_memory_shardings(mesh: Mesh):
+    from ..training.step import TrainMemory
+    # hidden [C, L+1, B/C, M, D]: shard the per-chunk batch axis (index 2)
+    return TrainMemory(hidden=NamedSharding(mesh, P(None, None, DATA_AXIS)),
+                       count=replicated(mesh))
+
+
 def shard_train_step(train_step, mesh: Mesh):
     """jit the train step with DP shardings.
 
@@ -64,7 +71,7 @@ def shard_train_step(train_step, mesh: Mesh):
     """
     rep = replicated(mesh)
     bat = batch_sharding(mesh)
-    mem = _memory_shardings(mesh)
+    mem = _train_memory_shardings(mesh)
     return jax.jit(
         train_step,
         in_shardings=(rep, mem, bat, bat, bat, rep),

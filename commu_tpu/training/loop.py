@@ -116,11 +116,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, max_step: Optional[int] = None) -> None:
+        from .step import init_train_memory
+
         tcfg = self.cfg.train
         max_step = max_step or tcfg.max_step
-        memory = init_memory(self.cfg.model.num_layers, tcfg.batch_size,
-                             tcfg.mem_length, self.cfg.model.units,
-                             dtype=self.model_dtype)
+        memory = init_train_memory(self.cfg.model.num_layers, tcfg.batch_size,
+                                   tcfg.mem_length, self.cfg.model.units,
+                                   tcfg.batch_chunk, dtype=self.model_dtype)
 
         it = self.dataset.train_iterator(
             tcfg.batch_size, tcfg.tgt_length, shuffle=True, seed=tcfg.seed)

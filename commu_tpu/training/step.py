@@ -24,7 +24,7 @@ Metric contract (matches the log lines of train.py:171-197):
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,38 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray  # int32 scalar, number of applied updates
+
+
+@struct.dataclass
+class TrainMemory:
+    """XL memory pre-laid-out for the micro-batch scan: [C, L+1, B/C, M, D].
+
+    Keeping the chunk axis leading means the scan consumes it directly —
+    reshaping a ~2 GB buffer twice per step costs ~19 ms on a v5e chip."""
+
+    hidden: jnp.ndarray
+    count: jnp.ndarray
+
+
+def chunk_memory(memory: Memory, n_chunks: int) -> TrainMemory:
+    l1, batch, m, d = memory.hidden.shape
+    hidden = memory.hidden.reshape(l1, n_chunks, batch // n_chunks, m, d)
+    return TrainMemory(hidden=jnp.moveaxis(hidden, 1, 0), count=memory.count)
+
+
+def unchunk_memory(tm: TrainMemory) -> Memory:
+    c, l1, b, m, d = tm.hidden.shape
+    hidden = jnp.moveaxis(tm.hidden, 0, 1).reshape(l1, c * b, m, d)
+    return Memory(hidden=hidden, count=tm.count)
+
+
+def init_train_memory(num_layers: int, batch: int, capacity: int,
+                      d_model: int, n_chunks: int, dtype=jnp.float32) -> TrainMemory:
+    return TrainMemory(
+        hidden=jnp.zeros((n_chunks, num_layers + 1, batch // n_chunks,
+                          capacity, d_model), dtype=dtype),
+        count=jnp.zeros((), dtype=jnp.int32),
+    )
 
 
 def make_optimizer(cfg: TrainingConfig, num_devices: int = 1) -> optax.GradientTransformation:
@@ -100,7 +132,8 @@ def chunked_masked_nll(logits: jnp.ndarray, targets: jnp.ndarray,
 
 
 def make_train_step(model: TransformerXL, cfg: TrainingConfig,
-                    num_devices: int = 1, *, remat: bool = True) -> Callable:
+                    num_devices: int = 1,
+                    *, remat: Optional[bool] = None) -> Callable:
     """Build the train step: (state, memory, batch, rng) -> updated.
 
     The batch is processed as ``batch_chunk`` micro-batches via ``lax.scan``
@@ -115,6 +148,11 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
     tx = make_optimizer(cfg, num_devices)
     n_chunks = cfg.train.batch_chunk
     clip = cfg.train.clip
+    if remat is None:
+        # the fused kernel never materializes attention probabilities, so the
+        # chunked backward fits in HBM without remat (and remat costs ~35%)
+        from ..models.transformer_xl import resolve_attn_impl
+        remat = resolve_attn_impl(cfg.model) != "pallas"
 
     def chunk_loss(params, memory: Memory, inputs, targets, reset, dropout_rng):
         logits, new_memory = model.apply(
@@ -130,20 +168,14 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
     if remat:
         chunk_loss = jax.checkpoint(chunk_loss)
 
-    def train_step(state: TrainState, memory: Memory, inputs, targets, reset,
-                   rng: jax.Array):
+    def train_step(state: TrainState, memory: TrainMemory, inputs, targets,
+                   reset, rng: jax.Array):
         base_rng = jax.random.fold_in(rng, state.step)
         batch = inputs.shape[0]
         b = batch // n_chunks
 
         def to_chunks(x):  # [B, ...] -> [C, B/C, ...]
             return x.reshape((n_chunks, b) + x.shape[1:])
-
-        mem_chunks = Memory(
-            hidden=jnp.moveaxis(
-                memory.hidden.reshape(memory.hidden.shape[0], n_chunks, b,
-                                      *memory.hidden.shape[2:]), 1, 0),
-            count=memory.count)
 
         grad_zero = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
@@ -162,12 +194,12 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         (grads, nll_sum, token_count), new_hidden = jax.lax.scan(
             scan_body, (grad_zero, 0.0, 0.0),
             (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
-             to_chunks(reset), mem_chunks.hidden))
+             to_chunks(reset), memory.hidden))
 
-        new_memory = Memory(
-            hidden=jnp.moveaxis(new_hidden, 0, 1).reshape(memory.hidden.shape),
+        new_memory = TrainMemory(
+            hidden=new_hidden,
             count=jnp.minimum(memory.count + inputs.shape[1],
-                              memory.hidden.shape[2]))
+                              memory.hidden.shape[3]))
 
         grads, grad_norm = _clip_by_global_norm(grads, clip)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)

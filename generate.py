@@ -37,8 +37,9 @@ def parse_args():
                    choices=list(constants.RHYTHM_MAP.keys()))
     p.add_argument("--min_velocity", type=int, choices=range(1, 128))
     p.add_argument("--max_velocity", type=int, choices=range(1, 128))
-    p.add_argument("--chord_progression", type=str, required=True,
-                   help="Chord progression ex) C-C-E-E-G-G ...")
+    p.add_argument("--chord_progression", type=str, default=None,
+                   help="Chord progression ex) C-C-E-E-G-G ... "
+                        "(required unless --batch_json)")
     p.add_argument("--num_generate", type=int, default=1)
     p.add_argument("--top_k", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.95)
@@ -50,6 +51,10 @@ def parse_args():
     p.add_argument("--lenient", action="store_true",
                    help="keep sequences even if they fail musical validation "
                         "(extension; useful with untrained checkpoints)")
+    p.add_argument("--batch_json", type=str, default=None,
+                   help="extension: JSON file with a LIST of request objects "
+                        "(same keys as the CLI flags); all prompts are "
+                        "generated in ONE batched device episode")
     return p.parse_args()
 
 
@@ -72,15 +77,6 @@ def main():
     from commu_tpu.config import get_default_cfg_inference
     from commu_tpu.generation import GenerationInput, MidiGenerationPipeline
 
-    input_data = GenerationInput.from_dict({
-        **{k: getattr(args, k) for k in META_KEYS},
-        "output_dir": args.output_dir,
-        "num_generate": args.num_generate,
-        "top_k": args.top_k,
-        "temperature": args.temperature,
-        "chord_progression": args.chord_progression,
-    })
-
     icfg = get_default_cfg_inference()
     if args.gen_length is not None:
         import dataclasses
@@ -89,6 +85,40 @@ def main():
     pipeline = MidiGenerationPipeline(args.checkpoint_dir,
                                       inference_cfg=icfg,
                                       sampler=args.sampler)
+
+    if args.batch_json:
+        import json
+        from commu_tpu.generation import jit_sampler, postprocess
+        from commu_tpu.vocab.meta_codec import encode_meta
+
+        records = json.loads(open(args.batch_json).read())
+        inputs = [GenerationInput.from_dict({
+            "output_dir": args.output_dir, "num_generate": 1,
+            "top_k": args.top_k, "temperature": args.temperature, **rec,
+        }) for rec in records]
+        metas = [pipeline.encode_input_meta(i) for i in inputs]
+        results = jit_sampler.execute_batch(
+            pipeline.model, pipeline.params, pipeline.model_cfg,
+            pipeline.inference_cfg, inputs, metas, seed=args.seed,
+            validate=not args.lenient)
+        for idx, (inp, seq) in enumerate(zip(inputs, results)):
+            midi = postprocess.decode_event_sequence(seq)
+            path = postprocess.output_file_path(inp, idx)
+            midi.dump(str(path))
+        print(f"Generated {len(results)} files under: {args.output_dir}")
+        return
+
+    if not args.chord_progression:
+        raise SystemExit("--chord_progression is required without --batch_json")
+
+    input_data = GenerationInput.from_dict({
+        **{k: getattr(args, k) for k in META_KEYS},
+        "output_dir": args.output_dir,
+        "num_generate": args.num_generate,
+        "top_k": args.top_k,
+        "temperature": args.temperature,
+        "chord_progression": args.chord_progression,
+    })
     out = pipeline.run(input_data, seed=args.seed, validate=not args.lenient)
     print(f"Generated files under: {out}")
 

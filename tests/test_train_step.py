@@ -13,7 +13,8 @@ from commu_tpu.models.transformer_xl import TransformerXL, init_memory
 from commu_tpu.parallel import make_mesh, shard_train_step
 from commu_tpu.training.schedule import make_lr_schedule
 from commu_tpu.training.step import (chunked_masked_nll, create_train_state,
-                                     make_train_step, _clip_by_global_norm)
+                                     init_train_memory, make_train_step,
+                                     _clip_by_global_norm)
 from commu_tpu.vocab.event_tokens import PAD_ID
 
 TINY = TrainingConfig(
@@ -98,8 +99,9 @@ def test_train_step_learns():
     model = TransformerXL(VOCAB, TINY.model, dtype=jnp.float32)
     state = create_train_state(jax.random.PRNGKey(0), model, TINY)
     step = jax.jit(make_train_step(model, TINY))
-    zero_memory = init_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
-                              TINY.model.units)
+    zero_memory = init_train_memory(TINY.model.num_layers, 8,
+                                    TINY.train.mem_length, TINY.model.units,
+                                    TINY.train.batch_chunk)
     rng = np.random.RandomState(0)
     fixed = _batch(rng)  # overfit one batch (fresh memory each step)
     key = jax.random.PRNGKey(1)
@@ -121,14 +123,15 @@ def test_mesh_step_matches_single_device():
 
     state1 = create_train_state(jax.random.PRNGKey(0), model, TINY)
     state8 = create_train_state(jax.random.PRNGKey(0), model, TINY)
-    mesh = make_mesh(8)
+    # 4 devices: each chunk's 4 rows shard evenly over the mesh
+    mesh = make_mesh(4)
     step1 = jax.jit(raw_step)
     step8 = shard_train_step(raw_step, mesh)
 
-    mem1 = init_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
-                       TINY.model.units)
-    mem8 = init_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
-                       TINY.model.units)
+    mem1 = init_train_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
+                             TINY.model.units, TINY.train.batch_chunk)
+    mem8 = init_train_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
+                             TINY.model.units, TINY.train.batch_chunk)
     rng = np.random.RandomState(7)
     key = jax.random.PRNGKey(2)
     for _ in range(3):
@@ -149,8 +152,9 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     model = TransformerXL(VOCAB, TINY.model, dtype=jnp.float32)
     state = create_train_state(jax.random.PRNGKey(0), model, TINY)
     step = jax.jit(make_train_step(model, TINY))
-    memory = init_memory(TINY.model.num_layers, 8, TINY.train.mem_length,
-                         TINY.model.units)
+    memory = init_train_memory(TINY.model.num_layers, 8,
+                               TINY.train.mem_length, TINY.model.units,
+                               TINY.train.batch_chunk)
     rng = np.random.RandomState(3)
     key = jax.random.PRNGKey(4)
     for _ in range(3):
