@@ -158,13 +158,18 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
 
 def commit(cache: KVCache, k_self: jnp.ndarray, v_self: jnp.ndarray,
            advance: jnp.ndarray) -> KVCache:
-    """Append each row's self K/V at its current length where ``advance``."""
+    """Append each row's self K/V at its current length where ``advance``.
+
+    A full-buffer masked select: measured FASTER than a per-row scatter on
+    TPU (scatters serialize; the select runs at full HBM bandwidth and the
+    donated buffer aliases in place inside the sampling while_loop).
+    """
     capacity = cache.k.shape[2]
     one_hot = (jnp.arange(capacity)[None, :] == cache.length[:, None])
     write = one_hot & advance[:, None]               # [G, M]
     w = write[None, :, :, None, None]                # [L, G, M, 1, 1]
-    new_k = jnp.where(w, k_self[:, :, None], cache.k)
-    new_v = jnp.where(w, v_self[:, :, None], cache.v)
+    new_k = jnp.where(w, k_self[:, :, None].astype(cache.k.dtype), cache.k)
+    new_v = jnp.where(w, v_self[:, :, None].astype(cache.v.dtype), cache.v)
     new_len = cache.length + advance.astype(jnp.int32)
     return KVCache(k=new_k, v=new_v, length=new_len)
 

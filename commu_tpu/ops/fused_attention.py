@@ -240,6 +240,9 @@ def _fused_fwd(q, k, v, r, r_w_bias, r_r_bias, scalars,
         interpret=_interpret(),
     )(scalars, qwp, qrp, kp, vp, r_ext)
     out = out.transpose(0, 2, 1, 3)                  # [B,T,H,dh]
+    # NOTE: residuals are the ORIGINAL-layout tensors — XLA CSEs the backward's
+    # re-transposes with the forward's (storing transposed copies measured 8%
+    # slower: extra live HBM)
     return out, (q, k, v, r, r_w_bias, r_r_bias, scalars)
 
 
@@ -248,13 +251,14 @@ def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
     batch, t, heads, dh = q.shape
     k_len = k.shape[1]
     width = k_len + t
+    q_dtype = q.dtype
 
     qwp = (q + r_w_bias[None, None]).transpose(0, 2, 1, 3)
     qrp = (q + r_r_bias[None, None]).transpose(0, 2, 1, 3)
     kp = k.transpose(0, 2, 1, 3)
     vp = v.transpose(0, 2, 1, 3)
     r_ext = jnp.pad(r, ((0, t), (0, 0), (0, 0))).transpose(1, 0, 2)
-    dop = g.astype(q.dtype).transpose(0, 2, 1, 3)
+    dop = g.astype(q_dtype).transpose(0, 2, 1, 3)
 
     kernel = functools.partial(
         _bwd_kernel, t=t, k_len=k_len, scale=scale,
@@ -295,10 +299,10 @@ def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
         grid_spec=grid_spec,
         interpret=_interpret(),
         out_shape=[
-            jax.ShapeDtypeStruct((batch, heads, t, dh), q.dtype),
-            jax.ShapeDtypeStruct((batch, heads, t, dh), q.dtype),
-            jax.ShapeDtypeStruct((batch, heads, k_len, dh), q.dtype),
-            jax.ShapeDtypeStruct((batch, heads, k_len, dh), q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, t, dh), q_dtype),
+            jax.ShapeDtypeStruct((batch, heads, t, dh), q_dtype),
+            jax.ShapeDtypeStruct((batch, heads, k_len, dh), q_dtype),
+            jax.ShapeDtypeStruct((batch, heads, k_len, dh), q_dtype),
             jax.ShapeDtypeStruct((batch, heads, k_len, dh), jnp.float32),
         ],
     )(scalars, qwp, qrp, kp, vp, r_ext, dop)
@@ -307,12 +311,12 @@ def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
 
     dq_ac = dq_ac.transpose(0, 2, 1, 3)
     dqr = dqr.transpose(0, 2, 1, 3)
-    dq = (dq_ac + dqr).astype(q.dtype)
-    dk = dk.transpose(0, 2, 1, 3).astype(k.dtype)
-    dv = dv.transpose(0, 2, 1, 3).astype(v.dtype)
-    dr = dr_ext.astype(r.dtype)
-    d_rw = dq_ac.sum(axis=(0, 1), dtype=jnp.float32).astype(r_w_bias.dtype)
-    d_rr = dqr.sum(axis=(0, 1), dtype=jnp.float32).astype(r_r_bias.dtype)
+    dq = (dq_ac + dqr).astype(q_dtype)
+    dk = dk.transpose(0, 2, 1, 3).astype(q_dtype)
+    dv = dv.transpose(0, 2, 1, 3).astype(q_dtype)
+    dr = dr_ext.astype(q_dtype)
+    d_rw = dq_ac.sum(axis=(0, 1), dtype=jnp.float32)
+    d_rr = dqr.sum(axis=(0, 1), dtype=jnp.float32)
     return dq, dk, dv, dr, d_rw, d_rr, None
 
 

@@ -6,7 +6,11 @@ rarely satisfy the musical validators; latency is what is measured — the
 token loop runs the same number of device steps either way).
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
