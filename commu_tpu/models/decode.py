@@ -108,8 +108,13 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
 
     j_idx = jnp.arange(capacity)[None, :]          # [1, M]
     valid = j_idx < cache.length[:, None]          # [G, M]
-    # distance of cache slot j from the current token: length - j (>= 1)
-    dist = jnp.clip(cache.length[:, None] - j_idx, 0, rel.shape[1] - 1)  # [G, M]
+    max_dist = rel.shape[1] - 1
+    # BD needs P at distance (length - j) for key slot j: with P reversed
+    # along the distance axis (and right-padded so out-of-range negative
+    # distances read zeros — those slots are masked anyway), that is ONE
+    # contiguous dynamic_slice per row starting at (max_dist - length) —
+    # far cheaper than an elementwise gather inside the sampling while_loop.
+    slice_start = jnp.clip(max_dist - cache.length, 0, max_dist)
 
     k_selfs, v_selfs = [], []
     for i in range(cfg.num_layers):
@@ -126,10 +131,12 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
         # content scores over cache + self
         ac = jnp.einsum("ghd,gjhd->ghj", qw, cache.k[i].astype(jnp.float32))
         ac_self = jnp.einsum("ghd,ghd->gh", qw, k_self.astype(jnp.float32))
-        # position scores: P[g,h,d] for all distances, then gather per slot
+        # position scores: P[g,h,d] for all distances, then per-row slice
         p = jnp.einsum("ghd,jhd->ghj", qr, rel[i])   # [G, H, max_dist+1]
-        bd = jnp.take_along_axis(
-            p, jnp.broadcast_to(dist[:, None, :], ac.shape), axis=2)
+        p_rev = jnp.pad(p[:, :, ::-1], ((0, 0), (0, 0), (0, capacity)))
+        bd = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(
+                row, (0, s), (n_head, capacity)))(p_rev, slice_start)
         bd_self = p[:, :, 0]
 
         score = (ac + bd) * scale                   # [G, H, M]

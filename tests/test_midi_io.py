@@ -132,3 +132,32 @@ def test_garbage_file_rejected(tmp_path):
     path.write_bytes(b"not a midi file at all")
     with pytest.raises(ValueError):
         MidiFile(path)
+
+
+def test_velocity_range_and_time_signature(tmp_path):
+    """reference: commu/preprocessor/utils/utils.py:12-35 semantics."""
+    from commu_tpu.midi import Instrument, MidiFile, Note, TimeSignature
+    from commu_tpu.utils import get_time_signature, get_velocity_range
+
+    p = tmp_path / "v.mid"
+    m = MidiFile(ticks_per_beat=480)
+    m.time_signature_changes = [TimeSignature(6, 8, 0)]
+    mel = Instrument(program=0, name="melody")
+    mel.notes = [Note(30, 60, 0, 100), Note(90, 62, 100, 200),
+                 Note(1, 64, 200, 300)]  # keyswitch velocity 1
+    chords = Instrument(program=0, name="chord")
+    chords.notes = [Note(127, 48, 0, 400)]
+    m.instruments = [mel, chords]
+    m.dump(p)
+
+    assert get_velocity_range(p) == (1, 90)
+    assert get_velocity_range(p, keyswitch_velocity=1) == (30, 90)
+    assert get_time_signature(p) == (6, 8)
+
+    empty = tmp_path / "e.mid"
+    m2 = MidiFile(ticks_per_beat=480)
+    m2.time_signature_changes = [TimeSignature(4, 4, 0)]
+    m2.instruments = [Instrument(program=0, name="chord",
+                                 notes=[Note(64, 50, 0, 10)])]
+    m2.dump(empty)
+    assert get_velocity_range(empty) == ("unknown", "unknown")
