@@ -65,6 +65,28 @@ def _ln_scale_init(std: float):
     return init
 
 
+class Proj(nn.Module):
+    """Bias-free projection with a Dense-compatible parameter
+    (``<name>/kernel`` of shape [in, features]) whose application layout is
+    caller-chosen: the kernel-layout einsums write the fused-attention
+    operand layouts DIRECTLY out of the matmul, instead of paying a
+    relayout copy per tensor per call."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    in_features: Optional[int] = None  # default: x.shape[-1]
+
+    @nn.compact
+    def __call__(self, x, einsum: str = None, kernel_shape=None):
+        in_features = self.in_features or x.shape[-1]
+        kernel = self.param("kernel", _normal_init(0.01),
+                            (in_features, self.features), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        if einsum is None:
+            return x @ kernel
+        return jnp.einsum(einsum, x, kernel.reshape(kernel_shape))
+
+
 class RelMultiHeadAttention(nn.Module):
     """Relative-position multi-head attention with learned content/position
     biases (reference: model.py:272-354)."""
@@ -82,24 +104,25 @@ class RelMultiHeadAttention(nn.Module):
         batch, tgt_len, _ = x.shape
         mem_capacity = mem.shape[1]
         klen = mem_capacity + tgt_len
+        hd = n_head * d_head
 
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=_normal_init(0.01), name=name)
+        q_net = Proj(hd, self.dtype, name="q_net")
+        kv_net = Proj(2 * hd, self.dtype, name="kv_net")
+        r_net = Proj(hd, self.dtype, name="r_net")
+        o_net = Proj(d_model, self.dtype, in_features=hd, name="o_net")
 
-        q = dense(n_head * d_head, "q_net")(x)
         cat = jnp.concatenate([mem.astype(x.dtype), x], axis=1)
-        kv = dense(2 * n_head * d_head, "kv_net")(cat)
-        r = dense(n_head * d_head, "r_net")(pos_emb)
-
-        q = q.reshape(batch, tgt_len, n_head, d_head)
-        k = kv[..., : n_head * d_head].reshape(batch, klen, n_head, d_head)
-        v = kv[..., n_head * d_head:].reshape(batch, klen, n_head, d_head)
-        r = r.reshape(klen, n_head, d_head)
-
         scale = 1.0 / (d_head ** 0.5)
+
         if resolve_attn_impl(cfg) == "pallas":
             from ..ops import fused_attention
+
+            # projections emit the kernel layout straight from the MXU
+            q = q_net(x, "btd,dhc->bhtc", (d_model, n_head, d_head))
+            kv = kv_net(cat, "bkd,dshc->bshkc",
+                        (d_model, 2, n_head, d_head))
+            k, v = kv[:, 0], kv[:, 1]                  # [B,H,K,dh]
+            r = r_net(pos_emb, "kd,dhc->hkc", (d_model, n_head, d_head))
 
             mem_count, reset, same_length = pallas_ctx
             train_drop = (not deterministic) and cfg.attention_dropout > 0.0
@@ -114,8 +137,15 @@ class RelMultiHeadAttention(nn.Module):
                 scale=scale, same_length=same_length,
                 dropout_p=cfg.attention_dropout, dropout_seed=seed,
                 train=not deterministic)
-            vec = vec.astype(x.dtype).reshape(batch, tgt_len, n_head * d_head)
+            out = o_net(vec.astype(x.dtype), "bhtc,hcd->btd",
+                        (n_head, d_head, d_model))
         else:
+            q = q_net(x).reshape(batch, tgt_len, n_head, d_head)
+            kv = kv_net(cat)
+            k = kv[..., :hd].reshape(batch, klen, n_head, d_head)
+            v = kv[..., hd:].reshape(batch, klen, n_head, d_head)
+            r = r_net(pos_emb).reshape(klen, n_head, d_head)
+
             ac = jnp.einsum("bihd,bjhd->bhij", q + r_w_bias.astype(q.dtype), k)
             bd = jnp.einsum("bihd,jhd->bhij", q + r_r_bias.astype(q.dtype), r)
             bd = rel_shift(bd)
@@ -128,7 +158,7 @@ class RelMultiHeadAttention(nn.Module):
 
             vec = jnp.einsum("bhij,bjhd->bihd", probs.astype(v.dtype), v)
             vec = vec.reshape(batch, tgt_len, n_head * d_head)
-        out = dense(d_model, "o_net")(vec)
+            out = o_net(vec)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,

@@ -105,21 +105,25 @@ def _attn_core(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
 
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
-    probs = e / jnp.sum(e, axis=1, keepdims=True)
+    p_clean = e / jnp.sum(e, axis=1, keepdims=True)
 
     if train and dropout_p > 0.0:
         pltpu.prng_seed(scalar_ref[1] + b * 4096 + h)
-        bits = pltpu.prng_random_bits(probs.shape)
+        bits = pltpu.prng_random_bits(p_clean.shape)
         keep = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) >= dropout_p
-        probs = jnp.where(keep, probs / (1.0 - dropout_p), 0.0)
+        drop_scale = jnp.where(keep, 1.0 / (1.0 - dropout_p), 0.0)
+        probs = p_clean * drop_scale
+    else:
+        drop_scale = None
+        probs = p_clean
 
-    return probs, qw, k, v_ref[0, 0, :, :], qr
+    return probs, p_clean, drop_scale, qw, k, v_ref[0, 0, :, :], qr
 
 
 def _fwd_kernel(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
                 o_ref, *, t, k_len, scale, same_length, dropout_p, train):
     b, h = pl.program_id(0), pl.program_id(1)
-    probs, _, _, v, _ = _attn_core(
+    probs, _, _, _, _, v, _ = _attn_core(
         scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref, b, h,
         t=t, k_len=k_len, scale=scale, same_length=same_length,
         dropout_p=dropout_p, train=train)
@@ -132,21 +136,25 @@ def _bwd_kernel(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
                 do_ref, dq_ref, dqr_ref, dk_ref, dv_ref, dr_ref,
                 *, t, k_len, scale, same_length, dropout_p, train):
     b, h = pl.program_id(0), pl.program_id(1)
-    probs, qw, k, v, qr = _attn_core(
+    probs, p_clean, drop_scale, qw, k, v, qr = _attn_core(
         scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref, b, h,
         t=t, k_len=k_len, scale=scale, same_length=same_length,
         dropout_p=dropout_p, train=train)
     do = do_ref[0, 0, :, :]                                           # [T,dh]
 
+    # dv uses the POST-dropout probabilities (o = dropout(p) @ v)
     dv = jax.lax.dot_general(probs.astype(do.dtype), do,
                              (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)      # [K,dh]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)      # [T,K]
-    # softmax (+dropout) backward: with dropout, probs already carries the
-    # keep/(1-p) factor, and d(softmax_out) = dp * keep/(1-p) happens via the
-    # same masked probs product below.
-    ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
+    # dropout backward FIRST (d dropout(p) -> d p is the same keep/scale
+    # mask), then the softmax backward on the CLEAN probabilities —
+    # folding the mask into p instead is wrong: dropped positions still
+    # receive the -p * rowsum term
+    if drop_scale is not None:
+        dp = dp * drop_scale
+    ds = p_clean * (dp - jnp.sum(dp * p_clean, axis=1, keepdims=True))
     ds = ds * scale                                                   # [T,K]
 
     ds_c = ds.astype(k.dtype)
@@ -184,145 +192,89 @@ def _scalars(mem_count, dropout_seed, reset, batch):
     ])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def fused_rel_attention(q, k, v, r, r_w_bias, r_r_bias, scalars,
-                        scale, same_length, dropout_p, train):
-    """Fused XL attention.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_core(qw, qr, k, v, r_ext, scalars,
+               scale, same_length, dropout_p, train):
+    """Fused XL attention over kernel-layout operands.
 
-    q: [B, T, H, dh]; k, v: [B, K, H, dh]; r: [K, H, dh] (distance-descending,
-    the model's layout); r_w_bias/r_r_bias: [H, dh];
+    qw, qr: [B, H, T, dh] — query streams with the content/position biases
+    already folded in (autodiff distributes their cotangents back to q and
+    the biases); k, v: [B, H, K, dh]; r_ext: [H, K+T, dh] (distance-descending
+    projections, zero rows appended for never-used diagonals);
     scalars: int32 [2 + B] = [mem_count, dropout_seed, reset_rows...].
-    Returns [B, T, H, dh] (f32).
+    Returns [B, H, T, dh] in qw's dtype.
+
+    Upstream projections should produce these layouts DIRECTLY via
+    reshaped-kernel einsums (see RelMultiHeadAttention) — transposing
+    [B, K, H, dh] tensors around the kernel measured ~60 ms/step of pure
+    layout copies at the training shape.
     """
-    out, _ = _fused_fwd(q, k, v, r, r_w_bias, r_r_bias, scalars,
+    out, _ = _fused_fwd(qw, qr, k, v, r_ext, scalars,
                         scale, same_length, dropout_p, train)
     return out
 
 
-def _fused_fwd(q, k, v, r, r_w_bias, r_r_bias, scalars,
-               scale, same_length, dropout_p, train):
-    batch, t, heads, dh = q.shape
-    k_len = k.shape[1]
-    width = k_len + t  # r extended with zero rows for never-used diagonals
+def _fused_call(kernel_fn, outs, qw, qr, k, v, r_ext, scalars, extra=()):
+    batch, heads, t, dh = qw.shape
+    k_len = k.shape[2]
+    width = r_ext.shape[1]
+    bh_t = pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bh_k = pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    h_r = pl.BlockSpec((1, width, dh), lambda b, h, s: (h, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [bh_t, bh_t, bh_k, bh_k, h_r] + [bh_t] * len(extra)
+    out_specs = []
+    out_shape = []
+    for kind, dtype in outs:
+        out_specs.append(bh_t if kind == "t" else bh_k)
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, heads, t if kind == "t" else k_len, dh), dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(batch, heads),
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+    )
+    return pl.pallas_call(
+        kernel_fn, grid_spec=grid_spec,
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        interpret=_interpret(),
+    )(scalars, qw, qr, k, v, r_ext, *extra)
 
-    qwp = (q + r_w_bias[None, None]).transpose(0, 2, 1, 3)
-    qrp = (q + r_r_bias[None, None]).transpose(0, 2, 1, 3)
-    kp = k.transpose(0, 2, 1, 3)                     # [B,H,K,dh]
-    vp = v.transpose(0, 2, 1, 3)
-    r_ext = jnp.pad(r, ((0, t), (0, 0), (0, 0))).transpose(1, 0, 2)  # [H,width,dh]
 
+def _fused_fwd(qw, qr, k, v, r_ext, scalars, scale, same_length, dropout_p,
+               train):
+    t, k_len = qw.shape[2], k.shape[2]
     kernel = functools.partial(
         _fwd_kernel, t=t, k_len=k_len, scale=scale,
         same_length=same_length, dropout_p=dropout_p, train=train)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(batch, heads),
-        in_specs=[
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, width, dh), lambda b, h, s: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, heads, t, dh), q.dtype),
-        interpret=_interpret(),
-    )(scalars, qwp, qrp, kp, vp, r_ext)
-    out = out.transpose(0, 2, 1, 3)                  # [B,T,H,dh]
-    # NOTE: residuals are the ORIGINAL-layout tensors — XLA CSEs the backward's
-    # re-transposes with the forward's (storing transposed copies measured 8%
-    # slower: extra live HBM)
-    return out, (q, k, v, r, r_w_bias, r_r_bias, scalars)
+    out = _fused_call(kernel, [("t", qw.dtype)], qw, qr, k, v, r_ext, scalars)
+    return out, (qw, qr, k, v, r_ext, scalars)
 
 
 def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
-    q, k, v, r, r_w_bias, r_r_bias, scalars = residuals
-    batch, t, heads, dh = q.shape
-    k_len = k.shape[1]
-    width = k_len + t
-    q_dtype = q.dtype
-
-    qwp = (q + r_w_bias[None, None]).transpose(0, 2, 1, 3)
-    qrp = (q + r_r_bias[None, None]).transpose(0, 2, 1, 3)
-    kp = k.transpose(0, 2, 1, 3)
-    vp = v.transpose(0, 2, 1, 3)
-    r_ext = jnp.pad(r, ((0, t), (0, 0), (0, 0))).transpose(1, 0, 2)
-    dop = g.astype(q_dtype).transpose(0, 2, 1, 3)
-
+    qw, qr, k, v, r_ext, scalars = residuals
+    t, k_len = qw.shape[2], k.shape[2]
+    width = r_ext.shape[1]
+    dtype = qw.dtype
     kernel = functools.partial(
         _bwd_kernel, t=t, k_len=k_len, scale=scale,
         same_length=same_length, dropout_p=dropout_p, train=train)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(batch, heads),
-        in_specs=[
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, width, dh), lambda b, h, s: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    dq_ac, dqr, dk, dv, dr_bh = pl.pallas_call(
+    dqw, dqr, dk, dv, dr_bh = _fused_call(
         kernel,
-        grid_spec=grid_spec,
-        interpret=_interpret(),
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, heads, t, dh), q_dtype),
-            jax.ShapeDtypeStruct((batch, heads, t, dh), q_dtype),
-            jax.ShapeDtypeStruct((batch, heads, k_len, dh), q_dtype),
-            jax.ShapeDtypeStruct((batch, heads, k_len, dh), q_dtype),
-            jax.ShapeDtypeStruct((batch, heads, k_len, dh), jnp.float32),
-        ],
-    )(scalars, qwp, qrp, kp, vp, r_ext, dop)
-    # [k_len, heads, dh]; rows past k_len are exactly zero (causal mask)
-    dr_ext = dr_bh.sum(axis=0, dtype=jnp.float32).transpose(1, 0, 2)
-
-    dq_ac = dq_ac.transpose(0, 2, 1, 3)
-    dqr = dqr.transpose(0, 2, 1, 3)
-    dq = (dq_ac + dqr).astype(q_dtype)
-    dk = dk.transpose(0, 2, 1, 3).astype(q_dtype)
-    dv = dv.transpose(0, 2, 1, 3).astype(q_dtype)
-    dr = dr_ext.astype(q_dtype)
-    d_rw = dq_ac.sum(axis=(0, 1), dtype=jnp.float32)
-    d_rr = dqr.sum(axis=(0, 1), dtype=jnp.float32)
-    return dq, dk, dv, dr, d_rw, d_rr, None
+        [("t", dtype), ("t", dtype), ("k", dtype), ("k", dtype),
+         ("k", jnp.float32)],
+        qw, qr, k, v, r_ext, scalars, extra=(g.astype(dtype),))
+    # rows past k_len of dR are exactly zero (causally masked diagonals)
+    dr_ext = jnp.pad(dr_bh.sum(axis=0, dtype=jnp.float32),
+                     ((0, 0), (0, width - k_len), (0, 0))).astype(dtype)
+    return dqw, dqr, dk.astype(dtype), dv.astype(dtype), dr_ext, None
 
 
-fused_rel_attention.defvjp(
-    lambda q, k, v, r, rw, rr, s, scale, sl, dp, tr: _fused_fwd(
-        q, k, v, r, rw, rr, s, scale, sl, dp, tr),
+fused_core.defvjp(
+    lambda qw, qr, k, v, r_ext, s, scale, sl, dp, tr: _fused_fwd(
+        qw, qr, k, v, r_ext, s, scale, sl, dp, tr),
     _fused_bwd,
 )
 
@@ -330,7 +282,15 @@ fused_rel_attention.defvjp(
 def attention(q, k, v, r, r_w_bias, r_r_bias, mem_count,
               reset: Optional[jnp.ndarray], *, scale, same_length,
               dropout_p=0.0, dropout_seed=0, train=False):
-    """Convenience wrapper building the scalar block."""
+    """Kernel-layout entry point.
+
+    q: [B, H, T, dh]; k, v: [B, H, K, dh]; r: [H, K, dh]
+    (distance-descending). Returns [B, H, T, dh].
+    """
+    t = q.shape[2]
+    qw = q + r_w_bias[None, :, None, :].astype(q.dtype)
+    qr = q + r_r_bias[None, :, None, :].astype(q.dtype)
+    r_ext = jnp.pad(r, ((0, 0), (0, t), (0, 0)))
     scalars = _scalars(mem_count, dropout_seed, reset, q.shape[0])
-    return fused_rel_attention(q, k, v, r, r_w_bias, r_r_bias, scalars,
-                               scale, same_length, dropout_p, train)
+    return fused_core(qw, qr, k, v, r_ext, scalars,
+                      scale, same_length, dropout_p, train)
