@@ -208,7 +208,8 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
         meta token; chord_*: [G, C] padded schedules; chord_count: [G];
         incomplete: [G] bool (num_measures % 4 != 0)."""
         G = primer.shape[0]
-        cache = init_cache(cfg, G, capacity)
+        cache = init_cache(cfg, G, capacity,
+                           dtype=params["embedding"].dtype)
         cache = prefill(model, params, cfg, primer, cache)
 
         seq = jnp.zeros((G, seq_buf), dtype=jnp.int32)

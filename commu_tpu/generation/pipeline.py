@@ -44,11 +44,17 @@ class MidiGenerationPipeline:
     def __init__(self, checkpoint_dir: str,
                  model_cfg: Optional[ModelConfig] = None,
                  inference_cfg: Optional[InferenceConfig] = None,
-                 sampler: str = "jit"):
+                 sampler: str = "jit", decode_dtype=jnp.float32):
         self.model_cfg = model_cfg or ModelConfig(same_length=True)
         self.inference_cfg = inference_cfg or get_default_cfg_inference()
         self.params = load_params(checkpoint_dir, self.model_cfg)
-        self.model = TransformerXL(VOCAB_SIZE, self.model_cfg, dtype=jnp.float32)
+        if decode_dtype != jnp.float32:
+            import jax
+            self.params = jax.tree_util.tree_map(
+                lambda a: a.astype(decode_dtype)
+                if hasattr(a, "astype") else a, self.params)
+        self.model = TransformerXL(VOCAB_SIZE, self.model_cfg,
+                                   dtype=decode_dtype)
         self.sampler = sampler
 
     def encode_input_meta(self, input_data: GenerationInput) -> List[int]:

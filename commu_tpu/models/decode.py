@@ -102,9 +102,10 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
     scale = 1.0 / (d_head ** 0.5)
 
     emb = params["embedding"]
-    x = emb[tokens] * (cfg.units ** 0.5)          # [G, D]
-    r_w = params["r_w_bias"]                       # [H, Dh]
-    r_r = params["r_r_bias"]
+    dtype = emb.dtype  # bf16 params -> mixed-precision decode (f32 softmax/LN)
+    x = emb[tokens] * jnp.asarray(cfg.units ** 0.5, dtype)  # [G, D]
+    r_w = params["r_w_bias"].astype(dtype)         # [H, Dh]
+    r_r = params["r_r_bias"].astype(dtype)
 
     j_idx = jnp.arange(capacity)[None, :]          # [1, M]
     valid = j_idx < cache.length[:, None]          # [G, M]
@@ -126,13 +127,17 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
         k_selfs.append(k_self)
         v_selfs.append(v_self)
 
-        qw = (q + r_w).astype(jnp.float32)
-        qr = (q + r_r).astype(jnp.float32)
-        # content scores over cache + self
-        ac = jnp.einsum("ghd,gjhd->ghj", qw, cache.k[i].astype(jnp.float32))
-        ac_self = jnp.einsum("ghd,ghd->gh", qw, k_self.astype(jnp.float32))
+        qw = q + r_w
+        qr = q + r_r
+        # content scores over cache + self (operands stay in storage dtype;
+        # scores accumulate in f32)
+        ac = jnp.einsum("ghd,gjhd->ghj", qw, cache.k[i].astype(dtype),
+                        preferred_element_type=jnp.float32)
+        ac_self = jnp.einsum("ghd,ghd->gh", qw, k_self,
+                             preferred_element_type=jnp.float32)
         # position scores: P[g,h,d] for all distances, then per-row slice
-        p = jnp.einsum("ghd,jhd->ghj", qr, rel[i])   # [G, H, max_dist+1]
+        p = jnp.einsum("ghd,jhd->ghj", qr, rel[i].astype(dtype),
+                       preferred_element_type=jnp.float32)
         p_rev = jnp.pad(p[:, :, ::-1], ((0, 0), (0, 0), (0, capacity)))
         bd = jax.vmap(
             lambda row, s: jax.lax.dynamic_slice(
@@ -145,21 +150,23 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
         full = jnp.concatenate([score, score_self], axis=2)
         probs = jax.nn.softmax(full, axis=2)
 
-        out = jnp.einsum("ghj,gjhd->ghd", probs[:, :, :capacity],
-                         cache.v[i].astype(jnp.float32))
+        out = jnp.einsum("ghj,gjhd->ghd", probs[:, :, :capacity].astype(dtype),
+                         cache.v[i].astype(dtype),
+                         preferred_element_type=jnp.float32)
         out = out + probs[:, :, capacity][:, :, None] * v_self.astype(jnp.float32)
-        out = out.reshape(-1, hd) @ lp["o_net"]["kernel"]
+        out = out.astype(dtype).reshape(-1, hd) @ lp["o_net"]["kernel"]
 
         ln = lp["layer_norm"]
-        x = _layer_norm(x + out, ln["scale"], ln["bias"])
+        x = _layer_norm(x + out, ln["scale"], ln["bias"]).astype(dtype)
 
         fp = _layer(params, i)["ff"]
         h = jax.nn.relu(x @ fp["ff1"]["kernel"] + fp["ff1"]["bias"])
         h = h @ fp["ff2"]["kernel"] + fp["ff2"]["bias"]
         ln = fp["layer_norm"]
-        x = _layer_norm(x + h, ln["scale"], ln["bias"])
+        x = _layer_norm(x + h, ln["scale"], ln["bias"]).astype(dtype)
 
-    logits = x @ emb.T + params["out_bias"]
+    logits = (x.astype(jnp.float32) @ emb.T.astype(jnp.float32)
+              + params["out_bias"].astype(jnp.float32))
     return logits, jnp.stack(k_selfs), jnp.stack(v_selfs)
 
 

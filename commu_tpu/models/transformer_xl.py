@@ -77,11 +77,17 @@ class Proj(nn.Module):
     in_features: Optional[int] = None  # default: x.shape[-1]
 
     @nn.compact
-    def __call__(self, x, einsum: str = None, kernel_shape=None):
+    def __call__(self, x, einsum: str = None, kernel_shape=None,
+                 kernel_slice: slice = None):
         in_features = self.in_features or x.shape[-1]
         kernel = self.param("kernel", _normal_init(0.01),
                             (in_features, self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
+        if kernel_slice is not None:
+            # slicing the (tiny) parameter instead of the (huge) activation:
+            # e.g. the packed kv projection splits into separate k and v
+            # einsums so no [B, K, 2, H, dh] output ever needs slicing
+            kernel = kernel[:, kernel_slice]
         if einsum is None:
             return x @ kernel
         return jnp.einsum(einsum, x, kernel.reshape(kernel_shape))
@@ -119,9 +125,10 @@ class RelMultiHeadAttention(nn.Module):
 
             # projections emit the kernel layout straight from the MXU
             q = q_net(x, "btd,dhc->bhtc", (d_model, n_head, d_head))
-            kv = kv_net(cat, "bkd,dshc->bshkc",
-                        (d_model, 2, n_head, d_head))
-            k, v = kv[:, 0], kv[:, 1]                  # [B,H,K,dh]
+            k = kv_net(cat, "bkd,dhc->bhkc", (d_model, n_head, d_head),
+                       kernel_slice=slice(0, hd))
+            v = kv_net(cat, "bkd,dhc->bhkc", (d_model, n_head, d_head),
+                       kernel_slice=slice(hd, 2 * hd))
             r = r_net(pos_emb, "kd,dhc->hkc", (d_model, n_head, d_head))
 
             mem_count, reset, same_length = pallas_ctx

@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--temperature", type=float, default=0.95)
     p.add_argument("--sampler", choices=["jit", "host"], default="jit",
                    help="jit: on-device batched loop; host: parity loop")
+    p.add_argument("--decode_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 halves KV-cache bandwidth on TPU "
+                        "(slightly different logits; float32 is bit-parity)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gen_length", type=int, default=None,
                    help="override max generation length (smoke runs)")
@@ -82,9 +86,11 @@ def main():
         import dataclasses
         icfg = dataclasses.replace(icfg, generation_length=args.gen_length)
 
-    pipeline = MidiGenerationPipeline(args.checkpoint_dir,
-                                      inference_cfg=icfg,
-                                      sampler=args.sampler)
+    import jax.numpy as jnp
+    pipeline = MidiGenerationPipeline(
+        args.checkpoint_dir, inference_cfg=icfg, sampler=args.sampler,
+        decode_dtype=jnp.bfloat16 if args.decode_dtype == "bfloat16"
+        else jnp.float32)
 
     if args.batch_json:
         import json

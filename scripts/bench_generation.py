@@ -23,6 +23,8 @@ def main():
                     help="max episode length (8-bar samples average ~700 "
                          "tokens in the ComMU corpus)")
     ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32")
     args = ap.parse_args()
 
     import dataclasses
@@ -35,12 +37,14 @@ def main():
     from commu_tpu.vocab.event_tokens import VOCAB_SIZE
     from commu_tpu.vocab.meta_codec import encode_meta
 
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     mcfg = ModelConfig(same_length=True)
     icfg = InferenceConfig(generation_length=args.gen_length)
-    model = TransformerXL(VOCAB_SIZE, mcfg, dtype=jax.numpy.float32)
+    model = TransformerXL(VOCAB_SIZE, mcfg, dtype=dtype)
     state = create_train_state(jax.random.PRNGKey(0), model,
                                get_default_cfg_training())
-    params = state.params
+    params = jax.tree_util.tree_map(lambda a: a.astype(dtype), state.params)
 
     input_data = GenerationInput(
         bpm=70, audio_key="aminor", time_signature="4/4", pitch_range="mid",
