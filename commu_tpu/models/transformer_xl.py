@@ -41,10 +41,21 @@ def resolve_attn_impl(cfg: ModelConfig) -> str:
 @struct.dataclass
 class Memory:
     """Rolling hidden-state cache: one stream per layer plus the embedding
-    stream (index 0), right-aligned in a fixed-capacity buffer."""
+    stream (index 0), in a fixed-capacity buffer.
+
+    Two physical layouts share this container:
+    - XLA attention path: right-aligned shift buffer, ``head`` stays 0
+      (every update rewrites the whole buffer);
+    - Pallas path: RING buffer — updates write T new rows at ``head`` via one
+      dynamic_update_slice (12.5% of the buffer at the training shape instead
+      of a full rewrite) and the kernel rotates its relative-position term to
+      match.  ``logical_memory_view`` converts to the right-aligned layout
+      for comparisons.
+    """
 
     hidden: jnp.ndarray  # [L+1, B, M, D]
-    count: jnp.ndarray   # int32 scalar: number of valid (rightmost) slots
+    count: jnp.ndarray   # int32 scalar: number of valid slots (clamped at M)
+    head: jnp.ndarray    # int32 scalar: next ring write position (0 for XLA)
 
 
 def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
@@ -52,7 +63,19 @@ def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
     return Memory(
         hidden=jnp.zeros((num_layers + 1, batch, capacity, d_model), dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
+        head=jnp.zeros((), dtype=jnp.int32),
     )
+
+
+def logical_memory_view(memory: Memory) -> jnp.ndarray:
+    """Memory contents in the right-aligned layout regardless of physical
+    layout (ring start = (head - count) mod M maps logical l -> physical
+    (start + l) mod M; the newest token lands at the right edge)."""
+    m_cap = memory.hidden.shape[2]
+    start = jnp.mod(memory.head - memory.count, m_cap) if m_cap else 0
+    rolled = jnp.roll(memory.hidden, -start, axis=2) if m_cap else memory.hidden
+    # logical l=0..count-1 now at positions 0..count-1; right-align them
+    return jnp.roll(rolled, m_cap - memory.count, axis=2) if m_cap else rolled
 
 
 def _normal_init(std: float):
@@ -131,7 +154,7 @@ class RelMultiHeadAttention(nn.Module):
                        kernel_slice=slice(hd, 2 * hd))
             r = r_net(pos_emb, "kd,dhc->hkc", (d_model, n_head, d_head))
 
-            mem_count, reset, same_length = pallas_ctx
+            mem_count, mem_head, reset, same_length = pallas_ctx
             train_drop = (not deterministic) and cfg.attention_dropout > 0.0
             if train_drop:
                 seed = jax.random.randint(
@@ -140,7 +163,7 @@ class RelMultiHeadAttention(nn.Module):
             else:
                 seed = jnp.zeros((), dtype=jnp.int32)
             vec = fused_attention.attention(
-                q, k, v, r, r_w_bias, r_r_bias, mem_count, reset,
+                q, k, v, r, r_w_bias, r_r_bias, mem_count, mem_head, reset,
                 scale=scale, same_length=same_length,
                 dropout_p=cfg.attention_dropout, dropout_seed=seed,
                 train=not deterministic)
@@ -260,7 +283,7 @@ class TransformerXL(nn.Module):
             mask = None
             reset_rows = reset if reset is not None else \
                 jnp.zeros((batch,), dtype=bool)
-            pallas_ctx = (memory.count, reset_rows, same_length)
+            pallas_ctx = (memory.count, memory.head, reset_rows, same_length)
         else:
             mask = build_attention_mask(
                 tgt_len, mem_capacity, memory.count, reset, same_length, batch)
@@ -287,13 +310,23 @@ class TransformerXL(nn.Module):
         tgt_len = hids[0].shape[1]
         stacked = jax.lax.stop_gradient(
             jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
+        new_count = jnp.minimum(memory.count + tgt_len, mem_capacity)
+        ring = (resolve_attn_impl(self.cfg) == "pallas"
+                and 0 < tgt_len <= mem_capacity
+                and mem_capacity % tgt_len == 0)
+        if ring:
+            new_hidden = jax.lax.dynamic_update_slice(
+                memory.hidden, stacked, (0, 0, memory.head, 0))
+            new_head = jnp.mod(memory.head + tgt_len, mem_capacity)
+            return Memory(hidden=new_hidden, count=new_count, head=new_head)
         if tgt_len >= mem_capacity:
-            new_hidden = stacked[:, :, -mem_capacity:]
+            new_hidden = stacked[:, :, -mem_capacity:] if mem_capacity else \
+                memory.hidden
         else:
             new_hidden = jnp.concatenate(
                 [memory.hidden[:, :, tgt_len:], stacked], axis=2)
-        new_count = jnp.minimum(memory.count + tgt_len, mem_capacity)
-        return Memory(hidden=new_hidden, count=new_count)
+        return Memory(hidden=new_hidden, count=new_count,
+                      head=jnp.zeros((), jnp.int32))
 
     def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """Tied-embedding output projection (reference: model.py:44-51,480-481)."""

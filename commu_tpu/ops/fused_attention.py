@@ -61,16 +61,28 @@ def _row_shift(x, row_iota, direction: int, t: int):
     return x
 
 
-def _mask(s, t, k_len, mem_capacity, mem_count, reset_b, same_length):
+def _dyn_roll(x, shift):
+    """Rotate columns right by a TRACED amount (x[..., j] <- x[..., j-shift])."""
+    return pltpu.roll(x, shift, axis=1)
+
+
+def _mask(s, t, k_len, mem_capacity, mem_count, start, reset_b, same_length):
+    """Masks in RING coordinates: memory slot j holds the logical (oldest=0)
+    token l = (j - start) mod M; the T window columns are unaffected."""
     i = jax.lax.broadcasted_iota(jnp.int32, (t, k_len), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (t, k_len), 1)
-    blocked = j >= mem_capacity + i + 1
-    blocked |= j < mem_capacity - mem_count
-    blocked |= reset_b & (j < mem_capacity)
+    mem_col = j < mem_capacity
+    if mem_capacity > 0:
+        l = jnp.mod(j - start, mem_capacity)
+    else:
+        l = j
+    blocked = (~mem_col) & (j >= mem_capacity + i + 1)   # causal, window only
+    blocked |= mem_col & (l >= mem_count)                # empty ring slots
+    blocked |= reset_b & mem_col
     if same_length:
         mask_len = mem_count + t - mem_capacity
         shift = t - jnp.maximum(mask_len, 0)
-        blocked |= j <= i - shift + (mem_capacity - mem_count)
+        blocked |= mem_col & (l <= i - shift)
     return jnp.where(blocked, NEG_INF, s)
 
 
@@ -99,9 +111,17 @@ def _attn_core(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
     bd = _row_shift(p_ext, row, +1, t)[:, :k_len]
 
     mem_count = scalar_ref[0]
-    reset_b = scalar_ref[2 + b] != 0
+    head = scalar_ref[2]
+    reset_b = scalar_ref[3 + b] != 0
+    m_cap = k_len - t
+    start = jnp.mod(head - mem_count, m_cap) if m_cap > 0 else head
+    if m_cap > 0:
+        # ring layout: the shift trick produced BD for contiguous logical
+        # order; rotate the memory columns into physical order (rot == head)
+        bd = jnp.concatenate(
+            [_dyn_roll(bd[:, :m_cap], head), bd[:, m_cap:]], axis=1)
     s = (ac + bd) * scale
-    s = _mask(s, t, k_len, k_len - t, mem_count, reset_b, same_length)
+    s = _mask(s, t, k_len, m_cap, mem_count, start, reset_b, same_length)
 
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
@@ -165,9 +185,16 @@ def _bwd_kernel(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
     width = r_ref.shape[1]
+    m_cap = k_len - t
+    head = scalar_ref[2]
+    ds_log = ds
+    if m_cap > 0:
+        # BD backward runs in LOGICAL order: un-rotate the ring columns
+        ds_log = jnp.concatenate(
+            [_dyn_roll(ds[:, :m_cap], m_cap - head), ds[:, m_cap:]], axis=1)
     # the TPU dynamic-rotate only supports 32-bit lanes: shift in f32, then
     # cast for the MXU
-    ds_pad = jnp.pad(ds, ((0, 0), (0, width - k_len)))
+    ds_pad = jnp.pad(ds_log, ((0, 0), (0, width - k_len)))
     dp_ext = _row_shift(ds_pad, row, -1, t).astype(k.dtype)           # [T,K+T-1]
     r = r_ref[0, :, :]
     dqr = jax.lax.dot_general(dp_ext, r, (((1,), (0,)), ((), ())),
@@ -182,12 +209,13 @@ def _bwd_kernel(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
     dr_ref[0, 0, :, :] = dr[:k_len].astype(dr_ref.dtype)
 
 
-def _scalars(mem_count, dropout_seed, reset, batch):
+def _scalars(mem_count, dropout_seed, mem_head, reset, batch):
     if reset is None:
         reset = jnp.zeros((batch,), dtype=jnp.int32)
     return jnp.concatenate([
         jnp.asarray(mem_count, jnp.int32).reshape(1),
         jnp.asarray(dropout_seed, jnp.int32).reshape(1),
+        jnp.asarray(mem_head, jnp.int32).reshape(1),
         reset.astype(jnp.int32).reshape(batch),
     ])
 
@@ -279,18 +307,19 @@ fused_core.defvjp(
 )
 
 
-def attention(q, k, v, r, r_w_bias, r_r_bias, mem_count,
+def attention(q, k, v, r, r_w_bias, r_r_bias, mem_count, mem_head,
               reset: Optional[jnp.ndarray], *, scale, same_length,
               dropout_p=0.0, dropout_seed=0, train=False):
     """Kernel-layout entry point.
 
-    q: [B, H, T, dh]; k, v: [B, H, K, dh]; r: [H, K, dh]
+    q: [B, H, T, dh]; k, v: [B, H, K, dh] where the memory keys live in a
+    RING whose next write position is ``mem_head``; r: [H, K, dh]
     (distance-descending). Returns [B, H, T, dh].
     """
     t = q.shape[2]
     qw = q + r_w_bias[None, :, None, :].astype(q.dtype)
     qr = q + r_r_bias[None, :, None, :].astype(q.dtype)
     r_ext = jnp.pad(r, ((0, 0), (0, t), (0, 0)))
-    scalars = _scalars(mem_count, dropout_seed, reset, q.shape[0])
+    scalars = _scalars(mem_count, dropout_seed, mem_head, reset, q.shape[0])
     return fused_core(qw, qr, k, v, r_ext, scalars,
                       scale, same_length, dropout_p, train)

@@ -53,14 +53,15 @@ def memory_sharding(mesh: Mesh) -> NamedSharding:
 
 def _memory_shardings(mesh: Mesh):
     from ..models.transformer_xl import Memory
-    return Memory(hidden=memory_sharding(mesh), count=replicated(mesh))
+    return Memory(hidden=memory_sharding(mesh), count=replicated(mesh),
+                  head=replicated(mesh))
 
 
 def _train_memory_shardings(mesh: Mesh):
     from ..training.step import TrainMemory
     # hidden [C, L+1, B/C, M, D]: shard the per-chunk batch axis (index 2)
     return TrainMemory(hidden=NamedSharding(mesh, P(None, None, DATA_AXIS)),
-                       count=replicated(mesh))
+                       count=replicated(mesh), head=replicated(mesh))
 
 
 def shard_train_step(train_step, mesh: Mesh):

@@ -53,18 +53,20 @@ class TrainMemory:
 
     hidden: jnp.ndarray
     count: jnp.ndarray
+    head: jnp.ndarray
 
 
 def chunk_memory(memory: Memory, n_chunks: int) -> TrainMemory:
     l1, batch, m, d = memory.hidden.shape
     hidden = memory.hidden.reshape(l1, n_chunks, batch // n_chunks, m, d)
-    return TrainMemory(hidden=jnp.moveaxis(hidden, 1, 0), count=memory.count)
+    return TrainMemory(hidden=jnp.moveaxis(hidden, 1, 0), count=memory.count,
+                       head=memory.head)
 
 
 def unchunk_memory(tm: TrainMemory) -> Memory:
     c, l1, b, m, d = tm.hidden.shape
     hidden = jnp.moveaxis(tm.hidden, 0, 1).reshape(l1, c * b, m, d)
-    return Memory(hidden=hidden, count=tm.count)
+    return Memory(hidden=hidden, count=tm.count, head=tm.head)
 
 
 def init_train_memory(num_layers: int, batch: int, capacity: int,
@@ -73,6 +75,7 @@ def init_train_memory(num_layers: int, batch: int, capacity: int,
         hidden=jnp.zeros((n_chunks, num_layers + 1, batch // n_chunks,
                           capacity, d_model), dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
+        head=jnp.zeros((), dtype=jnp.int32),
     )
 
 
@@ -155,15 +158,23 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         remat = resolve_attn_impl(cfg.model) != "pallas"
 
     def chunk_loss(params, memory: Memory, inputs, targets, reset, dropout_rng):
-        logits, new_memory = model.apply(
+        hidden, _, hids = model.apply(
             {"params": params}, inputs, memory, reset,
             same_length=cfg.model.same_length, deterministic=False,
+            return_hiddens=True, method=model.forward,
             rngs={"dropout": dropout_rng})
+        logits = model.apply({"params": params}, hidden,
+                             method=TransformerXL.logits)
         # per-device sub-chunk means reproduce the reference's per-rank chunk
         # loss under DDP averaging (see chunked_masked_nll)
         loss, nll_sum, token_count = chunked_masked_nll(logits, targets,
                                                         num_devices)
-        return loss / n_chunks, (new_memory, nll_sum, token_count)
+        # only the NEW T rows leave the chunk — the memory write happens once,
+        # in place, outside the scan (writing full ring buffers as scan ys
+        # costs a ~2 GB rewrite per step)
+        new_rows = jax.lax.stop_gradient(
+            jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
+        return loss / n_chunks, (new_rows, nll_sum, token_count)
 
     if remat:
         chunk_loss = jax.checkpoint(chunk_loss)
@@ -183,23 +194,42 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         def scan_body(carry, xs):
             grads_acc, nll_acc, tok_acc = carry
             chunk_idx, chunk_in, chunk_tgt, chunk_reset, chunk_mem_h = xs
-            chunk_mem = Memory(hidden=chunk_mem_h, count=memory.count)
+            chunk_mem = Memory(hidden=chunk_mem_h, count=memory.count,
+                               head=memory.head)
             rng_c = jax.random.fold_in(base_rng, chunk_idx)
-            grads, (new_mem, nll_sum, tok) = jax.grad(
+            grads, (new_rows, nll_sum, tok) = jax.grad(
                 chunk_loss, has_aux=True)(state.params, chunk_mem, chunk_in,
                                           chunk_tgt, chunk_reset, rng_c)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (grads_acc, nll_acc + nll_sum, tok_acc + tok), new_mem.hidden
+            return ((grads_acc, nll_acc + nll_sum, tok_acc + tok), new_rows)
 
-        (grads, nll_sum, token_count), new_hidden = jax.lax.scan(
+        (grads, nll_sum, token_count), new_rows = jax.lax.scan(
             scan_body, (grad_zero, 0.0, 0.0),
             (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
              to_chunks(reset), memory.hidden))
+        # new_rows: [C, L+1, B/C, T, D]
+        t_len = inputs.shape[1]
+        m_cap = memory.hidden.shape[3]
+        from ..models.transformer_xl import resolve_attn_impl
+        ring = (resolve_attn_impl(cfg.model) == "pallas"
+                and 0 < t_len <= m_cap and m_cap % t_len == 0)
+        if ring:
+            # ONE in-place write of the new rows into the donated ring buffer
+            new_hidden = jax.lax.dynamic_update_slice(
+                memory.hidden, new_rows, (0, 0, 0, memory.head, 0))
+            new_head = jnp.mod(memory.head + t_len, m_cap)
+        elif t_len < m_cap:
+            new_hidden = jnp.concatenate(
+                [memory.hidden[..., t_len:, :], new_rows], axis=3)
+            new_head = jnp.zeros((), jnp.int32)
+        else:
+            new_hidden = new_rows[..., -m_cap:, :]
+            new_head = jnp.zeros((), jnp.int32)
 
         new_memory = TrainMemory(
             hidden=new_hidden,
-            count=jnp.minimum(memory.count + inputs.shape[1],
-                              memory.hidden.shape[3]))
+            count=jnp.minimum(memory.count + t_len, m_cap),
+            head=new_head)
 
         grads, grad_norm = _clip_by_global_norm(grads, clip)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
