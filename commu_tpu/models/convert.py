@@ -35,7 +35,10 @@ def flax_params_from_torch_state(state: Dict[str, np.ndarray],
     hd = n_head * d_head
 
     def arr(key):
-        return np.asarray(state[key], dtype=np.float32)
+        # always COPY: torch's .detach().numpy() aliases the live parameter
+        # storage, and in-place optimizer updates would silently mutate the
+        # converted tree
+        return np.array(state[key], dtype=np.float32, copy=True)
 
     params = {
         "embedding": arr("word_emb.emb_layers.0.weight"),
