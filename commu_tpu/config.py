@@ -92,6 +92,49 @@ class InferenceConfig:
     generation_length: int = 4096
 
 
+def _coerce(field: dataclasses.Field, raw: str):
+    raw = raw.strip()
+    if field.type in ("bool", bool):
+        return raw in ("True", "true", "1")
+    if field.type in ("int", int):
+        return int(raw)
+    if field.type in ("float", float):
+        return float(raw)
+    return raw
+
+
+def load_config_snapshot(path) -> TrainingConfig:
+    """Parse a work-dir ``config.yml`` snapshot back into a TrainingConfig.
+
+    The reference's model initializer locates the sibling config.yml but never
+    parses it (model_initializer.py:25-34) — generation silently assumes
+    default hyperparameters.  We close that hole: a checkpoint travels with
+    the exact model shape it was trained with.
+    """
+    sections = {"MODEL": {}, "TRAIN": {}, "INITIALIZER": {}, "EVALUATE": {}}
+    current = None
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip() or line.lstrip().startswith("#"):
+                continue
+            if not line.startswith(" ") and line.rstrip().endswith(":"):
+                current = line.strip()[:-1]
+                continue
+            if current in sections and ":" in line:
+                key, _, raw = line.strip().partition(":")
+                sections[current][key.strip()] = raw
+    cfg = TrainingConfig()
+    out = {}
+    for name, section in (("model", cfg.model), ("train", cfg.train),
+                          ("initializer", cfg.initializer),
+                          ("evaluate", cfg.evaluate)):
+        fields = {f.name: f for f in dataclasses.fields(section)}
+        kwargs = {k: _coerce(fields[k], v)
+                  for k, v in sections[name.upper()].items() if k in fields}
+        out[name] = dataclasses.replace(section, **kwargs)
+    return TrainingConfig(**out)
+
+
 def get_default_cfg_training() -> TrainingConfig:
     return TrainingConfig()
 

@@ -27,6 +27,10 @@ import numpy as np
 
 from ..vocab.event_tokens import PAD_ID, VOCAB_SIZE
 
+import logging
+
+logger = logging.getLogger("ComMU")
+
 
 @dataclasses.dataclass
 class Batch:
@@ -85,6 +89,17 @@ class ComMUDataset:
             split: np.array([len(s) for s in seqs], dtype=np.int32)
             for split, seqs in self._data.items()
         }
+        # load-time stats, mirroring the reference's prints (dataset.py:56-72)
+        logger.info("Using pad token as BOS")
+        logger.info(
+            "Loaded data, #samples train/val/test: %d/%d/%d",
+            len(self._data["train"]), len(self._data["valid"]),
+            len(self._data["test"]))
+        logger.info(
+            "Avg length: %.1f/%.1f; #valid/test tokens: %d/%d",
+            float(self._lengths["train"].mean()),
+            float(self._lengths["valid"].mean()),
+            self.num_tokens("valid"), self.num_tokens("test"))
 
     def split_data(self, split: str) -> List[np.ndarray]:
         return self._data[split]

@@ -109,8 +109,10 @@ class InferenceEngine:
         adv = jnp.asarray([advance])
         tok = jnp.asarray([seq[-1]], dtype=jnp.int32)
         logits, cache = self._step(self.params, self.rel, tok, cache, adv)
-        # strip token 0 like the reference (midi_inferrer.py:206)
-        return np.asarray(logits[0], dtype=np.float32)[1:], cache
+        # strip token 0 like the reference (midi_inferrer.py:206); np.array
+        # (not asarray) — device arrays view read-only and the sampler's
+        # in-place temperature divide needs a writable buffer
+        return np.array(logits[0], dtype=np.float32)[1:], cache
 
 
 def generate_sequence(engine: InferenceEngine, input_data, seq: List[int],

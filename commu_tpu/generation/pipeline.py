@@ -40,12 +40,32 @@ def load_params(checkpoint_dir: str, model_cfg: ModelConfig):
     return jax.tree_util.tree_map(np.asarray, params)
 
 
+def _model_cfg_for_checkpoint(checkpoint_dir: str) -> ModelConfig:
+    """Model shape for a checkpoint: the sibling work-dir ``config.yml`` if
+    one exists (written by our Trainer), else the reference defaults.
+
+    The reference computes this path but never parses it
+    (model_initializer.py:25-34), so generating from a non-default model
+    crashes there; here the snapshot travels with the checkpoint."""
+    import dataclasses
+
+    from ..config import load_config_snapshot
+    path = Path(checkpoint_dir)
+    base = path.parent if path.suffix == ".pt" or path.is_dir() else path
+    snapshot = base / "config.yml"
+    if snapshot.is_file():
+        model_cfg = load_config_snapshot(snapshot).model
+        logger.info("model config from %s", snapshot)
+        return dataclasses.replace(model_cfg, same_length=True)
+    return ModelConfig(same_length=True)
+
+
 class MidiGenerationPipeline:
     def __init__(self, checkpoint_dir: str,
                  model_cfg: Optional[ModelConfig] = None,
                  inference_cfg: Optional[InferenceConfig] = None,
                  sampler: str = "jit", decode_dtype=jnp.float32):
-        self.model_cfg = model_cfg or ModelConfig(same_length=True)
+        self.model_cfg = model_cfg or _model_cfg_for_checkpoint(checkpoint_dir)
         self.inference_cfg = inference_cfg or get_default_cfg_inference()
         self.params = load_params(checkpoint_dir, self.model_cfg)
         if decode_dtype != jnp.float32:

@@ -292,7 +292,7 @@ def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
     dqw, dqr, dk, dv, dr_bh = _fused_call(
         kernel,
         [("t", dtype), ("t", dtype), ("k", dtype), ("k", dtype),
-         ("k", jnp.float32)],
+         ("k", dtype)],
         qw, qr, k, v, r_ext, scalars, extra=(g.astype(dtype),))
     # rows past k_len of dR are exactly zero (causally masked diagonals)
     dr_ext = jnp.pad(dr_bh.sum(axis=0, dtype=jnp.float32),

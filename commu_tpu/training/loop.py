@@ -69,6 +69,9 @@ class Trainer:
         self.init_rng, self.run_rng = jax.random.split(rng)
         self.state = create_train_state(
             self.init_rng, self.model, self.cfg, self.num_devices)
+        n_params = sum(int(np.prod(p.shape)) for p in
+                       jax.tree_util.tree_leaves(self.state.params))
+        logger.info("#total params = %d", n_params)  # reference train.py:478
         self.best_val_nll = math.inf
         self.ckpts = ckpt.CheckpointManager(work_dir)
         ckpt.write_config_snapshot(work_dir, self.cfg)

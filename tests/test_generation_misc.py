@@ -80,3 +80,47 @@ def test_from_dict_splits_chord_string():
         min_velocity=60, max_velocity=80, track_role="main_melody",
         rhythm="standard", chord_progression="-".join(["Am"] * 32)))
     assert inp.chord_progression == ["Am"] * 32
+
+
+def test_config_snapshot_round_trip(tmp_path):
+    """to_yaml -> load_config_snapshot recovers every field exactly."""
+    from commu_tpu.config import (TrainingConfig, load_config_snapshot,
+                                  get_default_cfg_training)
+    cfg = get_default_cfg_training()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, num_layers=2, num_heads=2,
+                                  units=64, inner_size=128, same_length=True,
+                                  attn_impl="xla"),
+        train=dataclasses.replace(cfg.train, lr=0.001, max_step=7))
+    path = tmp_path / "config.yml"
+    path.write_text(cfg.to_yaml())
+    assert load_config_snapshot(path) == cfg
+
+
+def test_pipeline_model_cfg_from_snapshot(tmp_path):
+    """Generation picks up the work-dir config.yml (the reference locates but
+    never parses it — model_initializer.py:25-34)."""
+    from commu_tpu.config import get_default_cfg_training
+    from commu_tpu.generation.pipeline import _model_cfg_for_checkpoint
+    cfg = get_default_cfg_training()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, units=64,
+                                                num_heads=2))
+    (tmp_path / "config.yml").write_text(cfg.to_yaml())
+    ckpt = tmp_path / "checkpoint_best"
+    ckpt.mkdir()
+    got = _model_cfg_for_checkpoint(str(ckpt))
+    assert got.units == 64 and got.num_heads == 2 and got.same_length
+    # no snapshot -> reference defaults
+    default = _model_cfg_for_checkpoint(str(tmp_path / "nope"))
+    assert default.units == 500 and default.same_length
+
+
+def test_sample_from_logits_writable_and_inplace_temper():
+    """Logits buffer must be mutated in place (reference quirk,
+    midi_inferrer.py:216) — and a fresh device-array copy must be writable."""
+    from commu_tpu.generation.host_sampler import sample_from_logits
+    rng = np.random.default_rng(0)
+    logits = np.linspace(-1.0, 1.0, 16, dtype=np.float32)
+    before = logits.copy()
+    sample_from_logits(logits, 0.5, 4, [], rng)
+    np.testing.assert_allclose(logits, before / 0.5)
