@@ -34,9 +34,11 @@ def main():
     model = TransformerXL(VOCAB_SIZE, cfg.model, dtype=jnp.bfloat16)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg)
     step = jax.jit(make_train_step(model, cfg), donate_argnums=(0, 1))
-    memory = init_train_memory(cfg.model.num_layers, batch, tcfg.mem_length,
-                               cfg.model.units, tcfg.batch_chunk,
-                               dtype=jnp.bfloat16)
+    from commu_tpu.models.transformer_xl import resolve_attn_impl
+    memory = init_train_memory(
+        cfg.model.num_layers, batch, tcfg.mem_length, cfg.model.units,
+        tcfg.batch_chunk, dtype=jnp.bfloat16,
+        transposed=resolve_attn_impl(cfg.model) == "pallas")
 
     rng = np.random.RandomState(0)
     def make_batch():

@@ -32,10 +32,18 @@ from ..ops.rel_attention import build_attention_mask, rel_shift, relative_positi
 
 
 def resolve_attn_impl(cfg: ModelConfig) -> str:
-    """'auto' -> the fused Pallas kernel on TPU, the XLA path elsewhere."""
-    if cfg.attn_impl != "auto":
-        return cfg.attn_impl
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    """'auto' -> the fused Pallas kernel on TPU, the XLA path elsewhere.
+
+    The kernel computes the relative-position term through the angle-addition
+    factorization (see commu_tpu.ops.fused_attention), which requires the
+    unclamped sinusoid — with ``clamp_len > 0`` (never used by the reference
+    configs) the XLA path is selected regardless."""
+    impl = cfg.attn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and cfg.clamp_len > 0:
+        return "xla"
+    return impl
 
 
 @struct.dataclass
@@ -53,27 +61,43 @@ class Memory:
       for comparisons.
     """
 
-    hidden: jnp.ndarray  # [L+1, B, M, D]
+    hidden: jnp.ndarray  # [L+1, B, M, D], or [L+1, B, D, M] when transposed
     count: jnp.ndarray   # int32 scalar: number of valid slots (clamped at M)
     head: jnp.ndarray    # int32 scalar: next ring write position (0 for XLA)
+    # D-major storage ([L+1, B, D, M]): the layout the fused-attention kv
+    # projection reads natively (contraction dim on sublanes, memory slots on
+    # lanes) — token-major memory costs a full-buffer relayout copy per layer
+    # and micro-batch on TPU.  Static pytree metadata, not traced.
+    transposed: bool = struct.field(pytree_node=False, default=False)
 
 
 def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
-                dtype=jnp.float32) -> Memory:
+                dtype=jnp.float32, transposed: bool = False) -> Memory:
+    shape = (num_layers + 1, batch) + (
+        (d_model, capacity) if transposed else (capacity, d_model))
     return Memory(
-        hidden=jnp.zeros((num_layers + 1, batch, capacity, d_model), dtype=dtype),
+        hidden=jnp.zeros(shape, dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
         head=jnp.zeros((), dtype=jnp.int32),
+        transposed=transposed,
     )
 
 
+def memory_capacity(memory: Memory) -> int:
+    return memory.hidden.shape[3 if memory.transposed else 2]
+
+
 def logical_memory_view(memory: Memory) -> jnp.ndarray:
-    """Memory contents in the right-aligned layout regardless of physical
-    layout (ring start = (head - count) mod M maps logical l -> physical
-    (start + l) mod M; the newest token lands at the right edge)."""
-    m_cap = memory.hidden.shape[2]
+    """Memory contents as [L+1, B, M, D] in the right-aligned layout
+    regardless of physical layout (ring start = (head - count) mod M maps
+    logical l -> physical (start + l) mod M; the newest token lands at the
+    right edge)."""
+    hidden = memory.hidden
+    if memory.transposed:
+        hidden = jnp.swapaxes(hidden, 2, 3)
+    m_cap = hidden.shape[2]
     start = jnp.mod(memory.head - memory.count, m_cap) if m_cap else 0
-    rolled = jnp.roll(memory.hidden, -start, axis=2) if m_cap else memory.hidden
+    rolled = jnp.roll(hidden, -start, axis=2) if m_cap else hidden
     # logical l=0..count-1 now at positions 0..count-1; right-align them
     return jnp.roll(rolled, m_cap - memory.count, axis=2) if m_cap else rolled
 
@@ -101,11 +125,15 @@ class Proj(nn.Module):
 
     @nn.compact
     def __call__(self, x, einsum: str = None, kernel_shape=None,
-                 kernel_slice: slice = None):
+                 kernel_slice: slice = None, return_kernel: bool = False):
         in_features = self.in_features or x.shape[-1]
         kernel = self.param("kernel", _normal_init(0.01),
                             (in_features, self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
+        if return_kernel:
+            # the fused-attention path consumes the position projection as a
+            # kernel operand (pack_r_kernel) instead of applying it here
+            return kernel
         if kernel_slice is not None:
             # slicing the (tiny) parameter instead of the (huge) activation:
             # e.g. the packed kv projection splits into separate k and v
@@ -131,30 +159,47 @@ class RelMultiHeadAttention(nn.Module):
         n_head = cfg.num_heads
         d_head = d_model // n_head
         batch, tgt_len, _ = x.shape
-        mem_capacity = mem.shape[1]
+        impl = resolve_attn_impl(cfg)
+        # the pallas path receives D-major memory [B, D, M] (see forward)
+        mem_capacity = mem.shape[2] if impl == "pallas" else mem.shape[1]
         klen = mem_capacity + tgt_len
         hd = n_head * d_head
 
         q_net = Proj(hd, self.dtype, name="q_net")
-        kv_net = Proj(2 * hd, self.dtype, name="kv_net")
-        r_net = Proj(hd, self.dtype, name="r_net")
+        kv_net = Proj(2 * hd, self.dtype, in_features=d_model, name="kv_net")
+        r_net = Proj(hd, self.dtype, in_features=d_model, name="r_net")
         o_net = Proj(d_model, self.dtype, in_features=hd, name="o_net")
 
-        cat = jnp.concatenate([mem.astype(x.dtype), x], axis=1)
         scale = 1.0 / (d_head ** 0.5)
 
-        if resolve_attn_impl(cfg) == "pallas":
+        if impl == "pallas":
             from ..ops import fused_attention
 
-            # projections emit the kernel layout straight from the MXU
-            q = q_net(x, "btd,dhc->bhtc", (d_model, n_head, d_head))
-            k = kv_net(cat, "bkd,dhc->bhkc", (d_model, n_head, d_head),
-                       kernel_slice=slice(0, hd))
-            v = kv_net(cat, "bkd,dhc->bhkc", (d_model, n_head, d_head),
-                       kernel_slice=slice(hd, 2 * hd))
-            r = r_net(pos_emb, "kd,dhc->hkc", (d_model, n_head, d_head))
+            # projections emit the kernel layout straight from the MXU:
+            # head dim on sublanes, token dim on lanes (dh=50 would pad to
+            # 128 lanes if it were minor — 2.56x HBM/VMEM/MXU waste).  The
+            # memory and window halves are projected SEPARATELY so the
+            # [mems; x] concat never materializes (it would re-lay-out the
+            # whole memory every layer; the kernel joins the halves in VMEM)
+            q = q_net(x, "btd,dhc->bhct", (d_model, n_head, d_head))
+            k_win = kv_net(x, "btd,dhc->bhct", (d_model, n_head, d_head),
+                           kernel_slice=slice(0, hd))
+            v_win = kv_net(x, "btd,dhc->bhct", (d_model, n_head, d_head),
+                           kernel_slice=slice(hd, 2 * hd))
+            if mem_capacity > 0:
+                mem_c = mem.astype(x.dtype)
+                k_mem = kv_net(mem_c, "bdm,dhc->bhcm",
+                               (d_model, n_head, d_head),
+                               kernel_slice=slice(0, hd))
+                v_mem = kv_net(mem_c, "bdm,dhc->bhcm",
+                               (d_model, n_head, d_head),
+                               kernel_slice=slice(hd, 2 * hd))
+            else:
+                k_mem = v_mem = None
+            w_r = fused_attention.pack_r_kernel(
+                r_net(None, return_kernel=True), n_head)
 
-            mem_count, mem_head, reset, same_length = pallas_ctx
+            mem_count, mem_head, reset, same_length, psi = pallas_ctx
             train_drop = (not deterministic) and cfg.attention_dropout > 0.0
             if train_drop:
                 seed = jax.random.randint(
@@ -163,13 +208,14 @@ class RelMultiHeadAttention(nn.Module):
             else:
                 seed = jnp.zeros((), dtype=jnp.int32)
             vec = fused_attention.attention(
-                q, k, v, r, r_w_bias, r_r_bias, mem_count, mem_head, reset,
-                scale=scale, same_length=same_length,
-                dropout_p=cfg.attention_dropout, dropout_seed=seed,
-                train=not deterministic)
-            out = o_net(vec.astype(x.dtype), "bhtc,hcd->btd",
+                q, k_mem, k_win, v_mem, v_win, w_r, psi, r_w_bias, r_r_bias,
+                mem_count, mem_head, reset, d_model=d_model, scale=scale,
+                same_length=same_length, dropout_p=cfg.attention_dropout,
+                dropout_seed=seed, train=not deterministic)
+            out = o_net(vec.astype(x.dtype), "bhct,hcd->btd",
                         (n_head, d_head, d_model))
         else:
+            cat = jnp.concatenate([mem.astype(x.dtype), x], axis=1)
             q = q_net(x).reshape(batch, tgt_len, n_head, d_head)
             kv = kv_net(cat)
             k = kv[..., :hd].reshape(batch, klen, n_head, d_head)
@@ -273,28 +319,45 @@ class TransformerXL(nn.Module):
     ):
         cfg = self.cfg
         batch, tgt_len = tokens.shape
-        mem_capacity = memory.hidden.shape[2]
+        mem_capacity = memory_capacity(memory)
         klen = mem_capacity + tgt_len
 
         word_emb = self.embed(tokens)
-        pos_emb = relative_position_embedding(klen, cfg.units, self.dtype, cfg.clamp_len)
+        mem_hidden = memory.hidden
 
         if resolve_attn_impl(cfg) == "pallas":
+            from ..ops import fused_attention as fa
+            if not memory.transposed and mem_capacity:
+                # tests/back-compat: the kernel's kv projection wants D-major
+                # memory; production memories are created transposed
+                mem_hidden = jnp.swapaxes(mem_hidden, 2, 3)
             mask = None
+            pos_emb = None
             reset_rows = reset if reset is not None else \
                 jnp.zeros((batch,), dtype=bool)
-            pallas_ctx = (memory.count, memory.head, reset_rows, same_length)
+            # key trig basis, ring-ordered, shared by all layers; positional
+            # dropout lands here (key-indexed basis — see fused_attention's
+            # module docstring; the reference drops the distance-indexed
+            # sinusoid once per forward, model.py:588-592)
+            psi = fa.ring_psi(
+                fa.key_trig_basis(klen, cfg.units, self.dtype),
+                tgt_len, memory.count, memory.head)
+            psi = self.pos_dropout(psi, deterministic=deterministic)
+            pallas_ctx = (memory.count, memory.head, reset_rows, same_length,
+                          psi)
         else:
+            pos_emb = relative_position_embedding(klen, cfg.units, self.dtype,
+                                                  cfg.clamp_len)
+            pos_emb = self.pos_dropout(pos_emb, deterministic=deterministic)
             mask = build_attention_mask(
                 tgt_len, mem_capacity, memory.count, reset, same_length, batch)
             pallas_ctx = None
 
         h = self.emb_dropout(word_emb, deterministic=deterministic)
-        pos_emb = self.pos_dropout(pos_emb, deterministic=deterministic)
 
         hids = [h]
         for i, layer in enumerate(self.layers):
-            h = layer(h, memory.hidden[i], pos_emb, self.r_w_bias, self.r_r_bias,
+            h = layer(h, mem_hidden[i], pos_emb, self.r_w_bias, self.r_r_bias,
                       mask, deterministic, pallas_ctx)
             hids.append(h)
         out = self.out_dropout(h, deterministic=deterministic)
@@ -306,7 +369,7 @@ class TransformerXL(nn.Module):
         return out, new_memory
 
     def _update_memory(self, memory: Memory, hids) -> Memory:
-        mem_capacity = memory.hidden.shape[2]
+        mem_capacity = memory_capacity(memory)
         tgt_len = hids[0].shape[1]
         stacked = jax.lax.stop_gradient(
             jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
@@ -315,10 +378,20 @@ class TransformerXL(nn.Module):
                 and 0 < tgt_len <= mem_capacity
                 and mem_capacity % tgt_len == 0)
         if ring:
+            if memory.transposed:
+                # the new rows are tiny compared to the buffer: transposing
+                # them here is what keeps the buffer itself relayout-free
+                stacked = jnp.swapaxes(stacked, 2, 3)       # [L+1, B, D, T]
+                offset = (0, 0, 0, memory.head)
+            else:
+                offset = (0, 0, memory.head, 0)
             new_hidden = jax.lax.dynamic_update_slice(
-                memory.hidden, stacked, (0, 0, memory.head, 0))
+                memory.hidden, stacked, offset)
             new_head = jnp.mod(memory.head + tgt_len, mem_capacity)
-            return Memory(hidden=new_hidden, count=new_count, head=new_head)
+            return Memory(hidden=new_hidden, count=new_count, head=new_head,
+                          transposed=memory.transposed)
+        assert not memory.transposed, \
+            "transposed memory requires the ring layout (pallas path)"
         if tgt_len >= mem_capacity:
             new_hidden = stacked[:, :, -mem_capacity:] if mem_capacity else \
                 memory.hidden

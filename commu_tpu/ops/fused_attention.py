@@ -1,28 +1,78 @@
-"""Pallas TPU kernel: fused XL relative-position attention.
+"""Pallas TPU kernel: fused XL relative-position attention (v3: matmul BD).
 
 The XLA path materializes the [B, H, T, K] score and probability tensors in
 HBM twice per layer (forward) plus again in the backward — at the training
 shape (B=64 per chunk, H=10, T=128, K=1152) that is ~1.1 GB of HBM traffic
 per layer per direction, the dominant cost of the step.  This kernel keeps
 the whole score row-block in VMEM (K=1152 keys x 128 queries x f32 = 590 KB,
-far under the ~16 MB budget), so scores/probabilities never touch HBM:
+far under the ~16 MB budget), so scores/probabilities never touch HBM.
 
-    grid (B, H); per program:  q[T,dh], k[K,dh], v[K,dh], r_ext[K+T-1,dh]
-        AC   = (q + r_w) @ k^T
-        P    = (q + r_r) @ r_ext^T          # scores vs relative distance
-        BD   = per-row left-shift of P by (T-1-i)   [log-decomposed rolls]
-        S    = (AC + BD) * scale  + mask(causal, invalid-mem, reset, same_len)
-        O    = dropout(softmax(S)) @ v
+Operand layout: every tensor carries the head dim on SUBLANES and the token
+dim on LANES — q/do: [B, H, dh, T]; k/v: [B, H, dh, M] + [B, H, dh, T].
+With dh=50 the lane-minor layout the v1 kernel used ([..., K, 50]) padded
+50 -> 128 lanes, a 2.56x tax on HBM bytes, VMEM, and MXU lane utilization;
+dh on sublanes pads only 50 -> 56.
 
-The per-row shift replaces the reference's ``_rel_shift`` pad/reshape trick
-(reference: commu/model/model.py:251-265) with 7 masked lane-rotations —
-static shapes, no tile-unfriendly reshapes.
+K/V arrive SPLIT into their memory and window halves, straight from separate
+projections of the XL memory and the current segment — concatenating
+[mems; x] before projecting (as the reference does, model.py:283-289) forces
+XLA to materialize and re-lay-out the whole 1024-deep memory every layer and
+micro-batch (~20 ms/step of pure copies at the training shape); the halves
+are joined lane-wise in VMEM for the cost of one small copy per program.
+
+THE BD TERM IS A MATMUL, NOT A SHIFT.  The reference computes the
+query-position interaction by scoring queries against a distance-indexed
+table and then re-aligning rows (``_rel_shift``, model.py:251-265); v1/v2 of
+this kernel did the same with log2(T) masked lane-rotations per program,
+which profiling showed to be ~40% of the whole forward (the kernel is
+VPU-bound; the MXU sits idle).  But the relative-position embedding is a
+SINUSOID, so by the angle-addition identities
+
+    emb(a - j) = [sin w(a-j); cos w(a-j)]
+               = [sin wa * cos wj - cos wa * sin wj;
+                  cos wa * cos wj + sin wa * sin wj]
+
+the BD score factors exactly:  with u = qr^T W_r  (the position projection
+applied to the query),
+
+    BD[i, j] = u[i] . emb(M + i - j) = phi(i) . psi(j)
+
+where phi combines u with per-QUERY trig factors (tiny [T, 512] elementwise
+work) and psi is a per-KEY trig basis shared by every head, batch row, layer
+and micro-batch.  BD = phi @ psi becomes one rank-512 MXU matmul per program
+— zero lane rotations, and the ring-buffer re-alignment of v2's BD becomes a
+free column gather of psi OUTSIDE the kernel.  (Requires clamp_len <= 0,
+which is the reference's configuration; a clamped sinusoid is not separable.)
+
+Per program (grid (B, H)):
+
+    AC   = qw^T [k_mem | k_win]              # [T, K], f32 accumulation
+    u    = qr^T W_r[h]                       # [T, 512]
+    phi  = trig-combine(u, trigA)            # [T, 512], elementwise
+    BD   = phi @ psi                         # [T, K], MXU
+    S    = AC + BD + mask[reset_b]           # scale folded into qw/qr outside
+    O    = [v_mem | v_win] @ dropout(softmax_rows(S))^T
+
+The additive NEG_INF mask (causal / invalid-ring-slot / reset / same_length)
+is PRECOMPUTED outside as a [2, T, K] table (normal and reset-row variants,
+shared by every layer and micro-batch of a step shape) and stays VMEM-resident
+across the whole grid, as do psi, trigA and W_r — the in-kernel mask
+arithmetic of v1 cost more VPU passes than the softmax itself.  The softmax
+denominator is folded into the dropout select, so no separate [T, K] divide
+happens.
 
 Backward is a custom VJP that recomputes the forward in VMEM (flash-style)
-and emits dq (content path), dqr (position path, summed into r_r_bias's grad
-outside), dk, dv and per-(b,h) dR partials (reduced over batch outside the
-kernel — XLA's reduction is faster than sequential-grid accumulation).
+and emits dq (content path), dqr (position path), dk/dv (memory and window
+halves separately) and per-(b,h) dW_r partials (reduced over batch outside
+the kernel — XLA's reduction is faster than sequential-grid accumulation).
 Attention dropout regenerates the same mask from the same per-(b,h) seed.
+
+Positional dropout: the reference drops the distance-indexed sinusoid table
+before projecting it (model.py:588-592 drop(pos_emb)).  Here the equivalent
+regularizer drops the KEY-indexed trig basis psi (same tensor family, same
+rate, applied once per forward and shared across layers) — the
+distance-indexed form does not factor through the angle-addition identity.
+Deterministic evaluation is exactly equivalent either way.
 
 Numerics match the XLA path to bf16/f32 tolerance (tests/test_fused_attention.py).
 """
@@ -38,288 +88,433 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+def _fpad(d_model: int) -> int:
+    """Frequency-lane padding: the d_model/2 frequencies are padded to a
+    multiple of 128 lanes so the sin/cos halves of u / phi / trigA / psi
+    split at a tile boundary (250 -> 256 for the reference d_model=500)."""
+    half = d_model // 2
+    return max(128, -(-half // 128) * 128)
+
 
 def _interpret() -> bool:
     """Run the kernel in interpreter mode off-TPU (CPU tests)."""
     return jax.default_backend() != "tpu"
 
 
-def _row_shift(x, row_iota, direction: int, t: int):
-    """Shift row i of ``x`` left (direction=+1) or right (-1) by (t-1-i)
-    lanes, via log2 decomposition into masked rolls.  x: [T, W]."""
-    width = x.shape[1]
-    shift = t - 1 - row_iota  # [T, 1]
-    bit = 1
-    while bit < t:
-        take = (shift & bit) != 0
-        # pltpu.roll requires a non-negative shift; a left-rotate by `bit`
-        # is a right-rotate by `width - bit`.
-        amount = (width - bit) if direction > 0 else bit
-        rolled = pltpu.roll(x, amount, axis=1)
-        x = jnp.where(take, rolled, x)
-        bit <<= 1
-    return x
+def _inv_freq(d_model: int) -> jnp.ndarray:
+    """Reference frequencies (model.py:141): 1/10000^(2f/d), f = 0..d/2-1."""
+    return 1.0 / (10000.0 ** (
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) / d_model))
 
 
-def _dyn_roll(x, shift):
-    """Rotate columns right by a TRACED amount (x[..., j] <- x[..., j-shift])."""
-    return pltpu.roll(x, shift, axis=1)
+def query_trig_table(t: int, m_cap: int, d_model: int,
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """trigA [T, 512]: per-query factors [sin(w*(M+i)) | cos(w*(M+i))],
+    each half padded 250 -> 256 lanes."""
+    a = jnp.arange(t, dtype=jnp.float32) + float(m_cap)          # [T]
+    ang = jnp.outer(a, _inv_freq(d_model))                       # [T, 250]
+    pad = _fpad(d_model) - ang.shape[1]
+    return jnp.concatenate([
+        jnp.pad(jnp.sin(ang), ((0, 0), (0, pad))),
+        jnp.pad(jnp.cos(ang), ((0, 0), (0, pad))),
+    ], axis=1).astype(dtype)
 
 
-def _mask(s, t, k_len, mem_capacity, mem_count, start, reset_b, same_length):
-    """Masks in RING coordinates: memory slot j holds the logical (oldest=0)
-    token l = (j - start) mod M; the T window columns are unaffected."""
+def key_trig_basis(k_len: int, d_model: int,
+                   dtype=jnp.bfloat16) -> jnp.ndarray:
+    """psi [512, K]: per-key basis [cos(w*j) ; sin(w*j)] over RIGHT-ALIGNED
+    key indices j (memory j in [0, M), window j in [M, M+T))."""
+    j = jnp.arange(k_len, dtype=jnp.float32)
+    ang = jnp.outer(_inv_freq(d_model), j)                       # [250, K]
+    pad = _fpad(d_model) - ang.shape[0]
+    return jnp.concatenate([
+        jnp.pad(jnp.cos(ang), ((0, pad), (0, 0))),
+        jnp.pad(jnp.sin(ang), ((0, pad), (0, 0))),
+    ], axis=0).astype(dtype)
+
+
+def ring_psi(psi_logical: jnp.ndarray, t: int, mem_count, head) -> jnp.ndarray:
+    """Permute psi's memory columns from right-aligned logical order into
+    RING order (slot j holds logical token l = (j - start) mod M; its
+    right-aligned index is M - count + l).  Invalid slots (l >= count) point
+    out of range and are clipped — their scores are masked anyway."""
+    k_len = psi_logical.shape[1]
+    m_cap = k_len - t
+    if m_cap == 0:
+        return psi_logical
+    start = jnp.mod(head - mem_count, m_cap)
+    l = jnp.mod(jnp.arange(m_cap) - start, m_cap)
+    idx = jnp.clip(m_cap - mem_count + l, 0, k_len - 1)
+    return jnp.concatenate(
+        [jnp.take(psi_logical, idx, axis=1), psi_logical[:, m_cap:]], axis=1)
+
+
+def pack_r_kernel(r_kernel: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """r_net parameter [d_model, H*dh] -> kernel operand W_r [H, dh, 512]:
+    transposed, with the sin rows (e < 250) and cos rows (e >= 250) each
+    padded to 256 so they align with trigA / u halves."""
+    d_model = r_kernel.shape[0]
+    half = d_model // 2
+    wrt = r_kernel.reshape(d_model, num_heads, -1).transpose(1, 2, 0)
+    pad = _fpad(d_model) - half
+    return jnp.concatenate([
+        jnp.pad(wrt[..., :half], ((0, 0), (0, 0), (0, pad))),
+        jnp.pad(wrt[..., half:], ((0, 0), (0, 0), (0, pad))),
+    ], axis=2)
+
+
+def build_mask_bias(t: int, m_cap: int, mem_count, head, same_length: bool,
+                    dtype=jnp.bfloat16):
+    """Additive attention-mask table [2, T, M+T] in RING coordinates.
+
+    Index 0: normal rows — causal (window columns), empty-ring-slot, and
+    optionally same_length blocking; index 1: reset rows (all memory columns
+    additionally blocked).  Memory slot j holds the logical (oldest=0) token
+    l = (j - start) mod M.  Semantics mirror the reference's mask construction
+    (commu/model/model.py:549-574); NEG_INF is exactly representable in bf16
+    (same exponent range as f32), so the table travels at half width.
+    """
+    k_len = m_cap + t
     i = jax.lax.broadcasted_iota(jnp.int32, (t, k_len), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (t, k_len), 1)
-    mem_col = j < mem_capacity
-    if mem_capacity > 0:
-        l = jnp.mod(j - start, mem_capacity)
+    mem_col = j < m_cap
+    if m_cap > 0:
+        start = jnp.mod(head - mem_count, m_cap)
+        l = jnp.mod(j - start, m_cap)
     else:
         l = j
-    blocked = (~mem_col) & (j >= mem_capacity + i + 1)   # causal, window only
+    blocked = (~mem_col) & (j >= m_cap + i + 1)          # causal, window only
     blocked |= mem_col & (l >= mem_count)                # empty ring slots
-    blocked |= reset_b & mem_col
     if same_length:
-        mask_len = mem_count + t - mem_capacity
+        mask_len = mem_count + t - m_cap
         shift = t - jnp.maximum(mask_len, 0)
         blocked |= mem_col & (l <= i - shift)
-    return jnp.where(blocked, NEG_INF, s)
+    normal = jnp.where(blocked, NEG_INF, 0.0)
+    reset_row = jnp.where(blocked | mem_col, NEG_INF, 0.0)
+    return jnp.stack([normal, reset_row]).astype(dtype)
 
 
-def _attn_core(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
-               b, h, *, t, k_len, scale, same_length, dropout_p, train):
-    """Shared forward computation -> (probs f32 [T,K], qw, k, v, qr).
+def _trig_combine(u, trig_a):
+    """phi [T, 2F] such that phi . psi[:, j] == u . emb(a - j)."""
+    f = u.shape[1] // 2
+    u_s, u_c = u[:, :f], u[:, f:]
+    s_a = trig_a[:, :f].astype(u.dtype)
+    c_a = trig_a[:, f:].astype(u.dtype)
+    phi_cos = u_s * s_a + u_c * c_a          # pairs with cos(w j)
+    phi_sin = u_c * s_a - u_s * c_a          # pairs with sin(w j)
+    return jnp.concatenate([phi_cos, phi_sin], axis=1)
 
-    The content/position biases are folded into the two query streams
-    OUTSIDE the kernel (qw = q + r_w_bias, qr = q + r_r_bias): tiny
-    [1,1,dh] bias blocks deadlock the runtime's DMA path, and the fold is
-    free in XLA anyway.
+
+def _trig_combine_bwd(dphi, trig_a):
+    """Transpose of _trig_combine in u (the trig factors are orthogonal
+    rotations, so the adjoint is the opposite rotation)."""
+    f = dphi.shape[1] // 2
+    d_cos, d_sin = dphi[:, :f], dphi[:, f:]
+    s_a = trig_a[:, :f].astype(dphi.dtype)
+    c_a = trig_a[:, f:].astype(dphi.dtype)
+    du_s = d_cos * s_a - d_sin * c_a
+    du_c = d_cos * c_a + d_sin * s_a
+    return jnp.concatenate([du_s, du_c], axis=1)
+
+
+def _attn_core(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+               wr_ref, trig_ref, psi_ref, mask_ref, b, h,
+               *, t, k_len, dropout_p, train):
+    """Shared forward computation -> (probs f32 [T,K] post-dropout+normalize,
+    e f32 [T,K] clean unnormalized, inv_denom f32 [T,1], phi, qw, k, v, qr).
+
+    The content/position biases AND the 1/sqrt(dh) scale are folded into the
+    two query streams OUTSIDE the kernel (qw = (q + r_w_bias) * scale, ...):
+    tiny [1,1,dh] bias blocks deadlock the runtime's DMA path, and the fold
+    is free in XLA anyway.
     """
     # operands stay in their storage dtype (bf16 in training): the MXU
     # multiplies bf16 natively with f32 accumulation via
     # preferred_element_type — casting to f32 first would halve throughput
-    qw = qw_ref[0, 0, :, :]                          # [T, dh]
-    qr = qr_ref[0, 0, :, :]                          # [T, dh]
-    k = k_ref[0, 0, :, :]                            # [K, dh]
-    r = r_ref[0, :, :]                               # [width, dh]
+    qw = qw_ref[0, 0, :, :]                          # [dh, T]
+    qr = qr_ref[0, 0, :, :]                          # [dh, T]
+    if km_ref is not None:
+        k = jnp.concatenate([km_ref[0, 0], kw_ref[0, 0]], axis=1)  # [dh, K]
+        v = jnp.concatenate([vm_ref[0, 0], vw_ref[0, 0]], axis=1)
+    else:
+        k = kw_ref[0, 0]
+        v = vw_ref[0, 0]
+    w_r = wr_ref[h]                                  # [dh, 512] (resident)
+    psi = psi_ref[:, :]                              # [512, K]  (resident)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-    ac = jax.lax.dot_general(qw, k, (((1,), (1,)), ((), ())),
+    ac = jax.lax.dot_general(qw, k, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)      # [T,K]
-    p_ext = jax.lax.dot_general(qr, r, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)   # [T,K+T-1pad]
-    bd = _row_shift(p_ext, row, +1, t)[:, :k_len]
+    u = jax.lax.dot_general(qr, w_r, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)       # [T,512]
+    phi = _trig_combine(u, trig_ref[:, :]).astype(qr.dtype)
+    bd = jax.lax.dot_general(phi, psi, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)      # [T,K]
 
-    mem_count = scalar_ref[0]
-    head = scalar_ref[2]
-    reset_b = scalar_ref[3 + b] != 0
-    m_cap = k_len - t
-    start = jnp.mod(head - mem_count, m_cap) if m_cap > 0 else head
-    if m_cap > 0:
-        # ring layout: the shift trick produced BD for contiguous logical
-        # order; rotate the memory columns into physical order (rot == head)
-        bd = jnp.concatenate(
-            [_dyn_roll(bd[:, :m_cap], head), bd[:, m_cap:]], axis=1)
-    s = (ac + bd) * scale
-    s = _mask(s, t, k_len, m_cap, mem_count, start, reset_b, same_length)
+    reset_b = scalar_ref[1 + b]
+    s = ac + bd + mask_ref[reset_b].astype(jnp.float32)
 
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
-    p_clean = e / jnp.sum(e, axis=1, keepdims=True)
+    inv_denom = 1.0 / jnp.sum(e, axis=1, keepdims=True)              # [T,1]
 
     if train and dropout_p > 0.0:
-        pltpu.prng_seed(scalar_ref[1] + b * 4096 + h)
-        bits = pltpu.prng_random_bits(p_clean.shape)
-        keep = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) >= dropout_p
-        drop_scale = jnp.where(keep, 1.0 / (1.0 - dropout_p), 0.0)
-        probs = p_clean * drop_scale
+        pltpu.prng_seed(scalar_ref[0] + b * 4096 + h)
+        bits = pltpu.prng_random_bits((t, k_len))                    # uint32
+        thresh = jnp.uint32(min(0xFFFFFFFF, round(dropout_p * 2.0 ** 32)))
+        keep = bits >= thresh
+        # normalization folded into the keep-select: probs = e/denom * scale
+        probs = jnp.where(keep, e * (inv_denom * (1.0 / (1.0 - dropout_p))),
+                          0.0)
     else:
-        drop_scale = None
-        probs = p_clean
+        keep = None
+        probs = e * inv_denom
 
-    return probs, p_clean, drop_scale, qw, k, v_ref[0, 0, :, :], qr
+    return probs, e, inv_denom, keep, phi, qw, k, v, qr
 
 
-def _fwd_kernel(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
-                o_ref, *, t, k_len, scale, same_length, dropout_p, train):
+def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+                wr_ref, trig_ref, psi_ref, mask_ref, o_ref,
+                *, t, k_len, dropout_p, train):
     b, h = pl.program_id(0), pl.program_id(1)
-    probs, _, _, _, _, v, _ = _attn_core(
-        scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref, b, h,
-        t=t, k_len=k_len, scale=scale, same_length=same_length,
-        dropout_p=dropout_p, train=train)
-    o = jax.lax.dot_general(probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    probs, _, _, _, _, _, _, v, _ = _attn_core(
+        scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+        wr_ref, trig_ref, psi_ref, mask_ref, b, h,
+        t=t, k_len=k_len, dropout_p=dropout_p, train=train)
+    o = jax.lax.dot_general(v, probs.astype(v.dtype), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)      # [dh,T]
     o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref,
-                do_ref, dq_ref, dqr_ref, dk_ref, dv_ref, dr_ref,
-                *, t, k_len, scale, same_length, dropout_p, train):
+def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+                wr_ref, trig_ref, psi_ref, mask_ref, do_ref,
+                dq_ref, dqr_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref,
+                *, t, k_len, dropout_p, train):
     b, h = pl.program_id(0), pl.program_id(1)
-    probs, p_clean, drop_scale, qw, k, v, qr = _attn_core(
-        scalar_ref, qw_ref, qr_ref, k_ref, v_ref, r_ref, b, h,
-        t=t, k_len=k_len, scale=scale, same_length=same_length,
-        dropout_p=dropout_p, train=train)
-    do = do_ref[0, 0, :, :]                                           # [T,dh]
+    probs, e, inv_denom, keep, phi, qw, k, v, qr = _attn_core(
+        scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+        wr_ref, trig_ref, psi_ref, mask_ref, b, h,
+        t=t, k_len=k_len, dropout_p=dropout_p, train=train)
+    do = do_ref[0, 0, :, :]                                          # [dh,T]
+    m_cap = k_len - t
 
     # dv uses the POST-dropout probabilities (o = dropout(p) @ v)
-    dv = jax.lax.dot_general(probs.astype(do.dtype), do,
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)      # [K,dh]
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)      # [T,K]
+    probs_c = probs.astype(do.dtype)
+    dv = jax.lax.dot_general(do, probs_c, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)     # [dh,K]
+    dp = jax.lax.dot_general(do, v, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)     # [T,K]
     # dropout backward FIRST (d dropout(p) -> d p is the same keep/scale
     # mask), then the softmax backward on the CLEAN probabilities —
     # folding the mask into p instead is wrong: dropped positions still
     # receive the -p * rowsum term
-    if drop_scale is not None:
-        dp = dp * drop_scale
-    ds = p_clean * (dp - jnp.sum(dp * p_clean, axis=1, keepdims=True))
-    ds = ds * scale                                                   # [T,K]
+    p_clean = e * inv_denom
+    if keep is not None:
+        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_p)), 0.0)
+    ds = p_clean * (dp - jnp.sum(dp * p_clean, axis=1, keepdims=True))  # [T,K]
 
     ds_c = ds.astype(k.dtype)
-    dq_ac = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)   # [T,dh]
-    dk = jax.lax.dot_general(ds_c, qw, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)      # [K,dh]
+    dq_ac = jax.lax.dot_general(k, ds_c, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [dh,T]
+    dk = jax.lax.dot_general(qw, ds_c, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)     # [dh,K]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-    width = r_ref.shape[1]
-    m_cap = k_len - t
-    head = scalar_ref[2]
-    ds_log = ds
-    if m_cap > 0:
-        # BD backward runs in LOGICAL order: un-rotate the ring columns
-        ds_log = jnp.concatenate(
-            [_dyn_roll(ds[:, :m_cap], m_cap - head), ds[:, m_cap:]], axis=1)
-    # the TPU dynamic-rotate only supports 32-bit lanes: shift in f32, then
-    # cast for the MXU
-    ds_pad = jnp.pad(ds_log, ((0, 0), (0, width - k_len)))
-    dp_ext = _row_shift(ds_pad, row, -1, t).astype(k.dtype)           # [T,K+T-1]
-    r = r_ref[0, :, :]
-    dqr = jax.lax.dot_general(dp_ext, r, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)     # [T,dh]
-    dr = jax.lax.dot_general(dp_ext, qr, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)      # [W,dh]
+    psi = psi_ref[:, :]
+    dphi = jax.lax.dot_general(ds_c, psi, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)   # [T,512]
+    du = _trig_combine_bwd(dphi, trig_ref[:, :]).astype(k.dtype)     # [T,512]
+    w_r = wr_ref[h]
+    dqr = jax.lax.dot_general(w_r, du, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)    # [dh,T]
+    dwr = jax.lax.dot_general(qr, du, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)    # [dh,512]
 
     dq_ref[0, 0, :, :] = dq_ac.astype(dq_ref.dtype)
     dqr_ref[0, 0, :, :] = dqr.astype(dqr_ref.dtype)
-    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
-    dr_ref[0, 0, :, :] = dr[:k_len].astype(dr_ref.dtype)
+    if dkm_ref is not None:
+        dkm_ref[0, 0, :, :] = dk[:, :m_cap].astype(dkm_ref.dtype)
+        dvm_ref[0, 0, :, :] = dv[:, :m_cap].astype(dvm_ref.dtype)
+    dkw_ref[0, 0, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
+    dvw_ref[0, 0, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
+    dwr_ref[0, 0, :, :] = dwr.astype(dwr_ref.dtype)
 
 
-def _scalars(mem_count, dropout_seed, mem_head, reset, batch):
+def _scalars(dropout_seed, reset, batch):
     if reset is None:
         reset = jnp.zeros((batch,), dtype=jnp.int32)
     return jnp.concatenate([
-        jnp.asarray(mem_count, jnp.int32).reshape(1),
         jnp.asarray(dropout_seed, jnp.int32).reshape(1),
-        jnp.asarray(mem_head, jnp.int32).reshape(1),
         reset.astype(jnp.int32).reshape(batch),
     ])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def fused_core(qw, qr, k, v, r_ext, scalars,
-               scale, same_length, dropout_p, train):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def fused_core(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
+               scalars, dropout_p, train):
     """Fused XL attention over kernel-layout operands.
 
-    qw, qr: [B, H, T, dh] — query streams with the content/position biases
-    already folded in (autodiff distributes their cotangents back to q and
-    the biases); k, v: [B, H, K, dh]; r_ext: [H, K+T, dh] (distance-descending
-    projections, zero rows appended for never-used diagonals);
-    scalars: int32 [2 + B] = [mem_count, dropout_seed, reset_rows...].
-    Returns [B, H, T, dh] in qw's dtype.
+    qw, qr: [B, H, dh, T] — query streams with the content/position biases
+    and the 1/sqrt(dh) scale already folded in (autodiff distributes their
+    cotangents back to q and the biases); k_mem, v_mem: [B, H, dh, M] (or
+    None when there is no memory); k_win, v_win: [B, H, dh, T]; w_r:
+    [H, dh, 512] packed position projection (``pack_r_kernel``); trig_a:
+    [T, 512] per-query trig factors (``query_trig_table``); psi: [512, M+T]
+    per-key trig basis in RING order (``key_trig_basis`` + ``ring_psi``);
+    mask: [2, T, M+T] additive bias from ``build_mask_bias``; scalars: int32
+    [1 + B] = [dropout_seed, reset_rows...].  Returns [B, H, dh, T] in qw's
+    dtype.
 
     Upstream projections should produce these layouts DIRECTLY via
-    reshaped-kernel einsums (see RelMultiHeadAttention) — transposing
-    [B, K, H, dh] tensors around the kernel measured ~60 ms/step of pure
-    layout copies at the training shape.
+    reshaped-kernel einsums (see RelMultiHeadAttention) — they are the
+    lane-dense layouts (token dim on lanes), so neither the projections nor
+    the kernel DMAs ever touch the 50->128 lane padding a head-minor layout
+    pays.
     """
-    out, _ = _fused_fwd(qw, qr, k, v, r_ext, scalars,
-                        scale, same_length, dropout_p, train)
+    out, _ = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
+                        mask, scalars, dropout_p, train)
     return out
 
 
-def _fused_call(kernel_fn, outs, qw, qr, k, v, r_ext, scalars, extra=()):
-    batch, heads, t, dh = qw.shape
-    k_len = k.shape[2]
-    width = r_ext.shape[1]
-    bh_t = pl.BlockSpec((1, 1, t, dh), lambda b, h, s: (b, h, 0, 0),
+def _mem_kernel(kernel_fn, has_mem):
+    """Adapt ref order: kernels take (scalars, qw, qr, [km,] kw, [vm,] vw,
+    wr, trig, psi, mask, [do], outs...); without memory km/vm are absent."""
+    if has_mem:
+        return kernel_fn
+
+    def wrapped(scalar_ref, qw_ref, qr_ref, kw_ref, vw_ref, *rest):
+        return kernel_fn(scalar_ref, qw_ref, qr_ref, None, kw_ref, None,
+                         vw_ref, *rest)
+    return wrapped
+
+
+def _bwd_mem_kernel(kernel_fn, has_mem):
+    if has_mem:
+        return kernel_fn
+
+    def wrapped(scalar_ref, qw_ref, qr_ref, kw_ref, vw_ref, wr_ref, trig_ref,
+                psi_ref, mask_ref, do_ref, dq_ref, dqr_ref, dkw_ref, dvw_ref,
+                dwr_ref):
+        return kernel_fn(scalar_ref, qw_ref, qr_ref, None, kw_ref, None,
+                         vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, do_ref,
+                         dq_ref, dqr_ref, None, dkw_ref, None, dvw_ref,
+                         dwr_ref)
+    return wrapped
+
+
+def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
+                trig_a, psi, mask, scalars, extra=()):
+    batch, heads, dh, t = qw.shape
+    m_cap = 0 if k_mem is None else k_mem.shape[3]
+    bh_t = pl.BlockSpec((1, 1, dh, t), lambda b, h, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    bh_k = pl.BlockSpec((1, 1, k_len, dh), lambda b, h, s: (b, h, 0, 0),
+    bh_m = pl.BlockSpec((1, 1, dh, m_cap), lambda b, h, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    h_r = pl.BlockSpec((1, width, dh), lambda b, h, s: (h, 0, 0),
-                       memory_space=pltpu.VMEM)
-    in_specs = [bh_t, bh_t, bh_k, bh_k, h_r] + [bh_t] * len(extra)
+    fdim = w_r.shape[2]
+    bh_f = pl.BlockSpec((1, 1, dh, fdim), lambda b, h, s: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def resident(shape):
+        # whole-table block with a CONSTANT index: fetched once, then kept in
+        # VMEM for the entire grid (~2.4 MB total at the training shape)
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda b, h, s: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    has_mem = k_mem is not None
+    kv_specs = [bh_m, bh_t, bh_m, bh_t] if has_mem else [bh_t, bh_t]
+    in_specs = [bh_t, bh_t] + kv_specs + \
+        [resident(w_r.shape), resident(trig_a.shape), resident(psi.shape),
+         resident(mask.shape)] + [bh_t] * len(extra)
     out_specs = []
     out_shape = []
     for kind, dtype in outs:
-        out_specs.append(bh_t if kind == "t" else bh_k)
-        out_shape.append(jax.ShapeDtypeStruct(
-            (batch, heads, t if kind == "t" else k_len, dh), dtype))
+        if kind == "m" and not has_mem:
+            continue
+        n = {"t": t, "m": m_cap, "f": fdim}[kind]
+        spec = {"t": bh_t, "m": bh_m, "f": bh_f}[kind]
+        out_specs.append(spec)
+        out_shape.append(jax.ShapeDtypeStruct((batch, heads, dh, n), dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(batch, heads),
         in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
     )
+    operands = [qw, qr] + \
+        ([k_mem, k_win, v_mem, v_win] if has_mem else [k_win, v_win]) + \
+        [w_r, trig_a, psi, mask]
     return pl.pallas_call(
         kernel_fn, grid_spec=grid_spec,
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         interpret=_interpret(),
-    )(scalars, qw, qr, k, v, r_ext, *extra)
+    )(scalars, *operands, *extra)
 
 
-def _fused_fwd(qw, qr, k, v, r_ext, scalars, scale, same_length, dropout_p,
-               train):
-    t, k_len = qw.shape[2], k.shape[2]
-    kernel = functools.partial(
-        _fwd_kernel, t=t, k_len=k_len, scale=scale,
-        same_length=same_length, dropout_p=dropout_p, train=train)
-    out = _fused_call(kernel, [("t", qw.dtype)], qw, qr, k, v, r_ext, scalars)
-    return out, (qw, qr, k, v, r_ext, scalars)
+def _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
+               scalars, dropout_p, train):
+    t = qw.shape[3]
+    m_cap = 0 if k_mem is None else k_mem.shape[3]
+    kernel = _mem_kernel(functools.partial(
+        _fwd_kernel, t=t, k_len=m_cap + t, dropout_p=dropout_p, train=train),
+        k_mem is not None)
+    out = _fused_call(kernel, [("t", qw.dtype)], qw, qr, k_mem, k_win,
+                      v_mem, v_win, w_r, trig_a, psi, mask, scalars)
+    return out, (qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
+                 scalars)
 
 
-def _fused_bwd(scale, same_length, dropout_p, train, residuals, g):
-    qw, qr, k, v, r_ext, scalars = residuals
-    t, k_len = qw.shape[2], k.shape[2]
-    width = r_ext.shape[1]
+def _fused_bwd(dropout_p, train, residuals, g):
+    (qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
+     scalars) = residuals
+    t = qw.shape[3]
+    m_cap = 0 if k_mem is None else k_mem.shape[3]
+    has_mem = k_mem is not None
     dtype = qw.dtype
-    kernel = functools.partial(
-        _bwd_kernel, t=t, k_len=k_len, scale=scale,
-        same_length=same_length, dropout_p=dropout_p, train=train)
-    dqw, dqr, dk, dv, dr_bh = _fused_call(
+    kernel = _bwd_mem_kernel(functools.partial(
+        _bwd_kernel, t=t, k_len=m_cap + t, dropout_p=dropout_p, train=train),
+        has_mem)
+    outs = _fused_call(
         kernel,
-        [("t", dtype), ("t", dtype), ("k", dtype), ("k", dtype),
-         ("k", dtype)],
-        qw, qr, k, v, r_ext, scalars, extra=(g.astype(dtype),))
-    # rows past k_len of dR are exactly zero (causally masked diagonals)
-    dr_ext = jnp.pad(dr_bh.sum(axis=0, dtype=jnp.float32),
-                     ((0, 0), (0, width - k_len), (0, 0))).astype(dtype)
-    return dqw, dqr, dk.astype(dtype), dv.astype(dtype), dr_ext, None
+        [("t", dtype), ("t", dtype), ("m", dtype), ("t", dtype),
+         ("m", dtype), ("t", dtype), ("f", dtype)],
+        qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask, scalars,
+        extra=(g.astype(dtype),))
+    if has_mem:
+        dqw, dqr, dkm, dkw, dvm, dvw, dwr_bh = outs
+    else:
+        dqw, dqr, dkw, dvw, dwr_bh = outs
+        dkm = dvm = None
+    dwr = dwr_bh.sum(axis=0, dtype=jnp.float32).astype(w_r.dtype)
+    # trig_a/psi/mask are pure functions of step counters (no parameters
+    # upstream): symbolic-zero cotangents, DCE'd by XLA
+    return (dqw, dqr, dkm, dkw, dvm, dvw, dwr, jnp.zeros_like(trig_a),
+            jnp.zeros_like(psi), jnp.zeros_like(mask), None)
 
 
 fused_core.defvjp(
-    lambda qw, qr, k, v, r_ext, s, scale, sl, dp, tr: _fused_fwd(
-        qw, qr, k, v, r_ext, s, scale, sl, dp, tr),
+    lambda qw, qr, km, kw, vm, vw, wr, ta, ps, mask, s, dp, tr: _fused_fwd(
+        qw, qr, km, kw, vm, vw, wr, ta, ps, mask, s, dp, tr),
     _fused_bwd,
 )
 
 
-def attention(q, k, v, r, r_w_bias, r_r_bias, mem_count, mem_head,
-              reset: Optional[jnp.ndarray], *, scale, same_length,
-              dropout_p=0.0, dropout_seed=0, train=False):
+def attention(q, k_mem, k_win, v_mem, v_win, w_r, psi, r_w_bias, r_r_bias,
+              mem_count, mem_head, reset: Optional[jnp.ndarray], *, d_model,
+              scale, same_length, dropout_p=0.0, dropout_seed=0, train=False):
     """Kernel-layout entry point.
 
-    q: [B, H, T, dh]; k, v: [B, H, K, dh] where the memory keys live in a
-    RING whose next write position is ``mem_head``; r: [H, K, dh]
-    (distance-descending). Returns [B, H, T, dh].
+    q: [B, H, dh, T]; k_mem, v_mem: [B, H, dh, M] (may be None) where the
+    memory keys live in a RING whose next write position is ``mem_head``;
+    k_win, v_win: [B, H, dh, T]; w_r: [H, dh, 512] (``pack_r_kernel`` of the
+    position projection); psi: [512, M+T] key trig basis ALREADY in ring
+    order (``ring_psi``), possibly with positional dropout applied.
+    Returns [B, H, dh, T].
     """
-    t = q.shape[2]
-    qw = q + r_w_bias[None, :, None, :].astype(q.dtype)
-    qr = q + r_r_bias[None, :, None, :].astype(q.dtype)
-    r_ext = jnp.pad(r, ((0, 0), (0, t), (0, 0)))
-    scalars = _scalars(mem_count, dropout_seed, mem_head, reset, q.shape[0])
-    return fused_core(qw, qr, k, v, r_ext, scalars,
-                      scale, same_length, dropout_p, train)
+    t = q.shape[3]
+    m_cap = 0 if k_mem is None else k_mem.shape[3]
+    qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
+    qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
+    trig_a = query_trig_table(t, m_cap, d_model, dtype=q.dtype)
+    mask = build_mask_bias(t, m_cap, mem_count, mem_head, same_length)
+    scalars = _scalars(dropout_seed, reset, q.shape[0])
+    return fused_core(qw, qr, k_mem, k_win, v_mem, v_win, w_r,
+                      trig_a, psi.astype(q.dtype), mask, scalars,
+                      dropout_p, train)

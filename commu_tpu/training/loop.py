@@ -106,9 +106,10 @@ class Trainer:
         for batch in self.dataset.eval_iterator(
                 self.eval_batch, ecfg.tgt_length, split=split):
             if batch.reset[0] or memory is None:
-                memory = init_memory(self.cfg.model.num_layers, self.eval_batch,
-                                     ecfg.mem_length, self.cfg.model.units,
-                                     dtype=self.model_dtype)
+                memory = init_memory(
+                    self.cfg.model.num_layers, self.eval_batch,
+                    ecfg.mem_length, self.cfg.model.units,
+                    dtype=self.model_dtype, transposed=self._transposed_mem())
             reset = np.zeros(self.eval_batch, dtype=bool)
             nll_sum, tok, memory = self.eval_step(
                 self.state.params, memory, batch.inputs, batch.targets, reset)
@@ -116,6 +117,12 @@ class Trainer:
             total_tokens += batch.token_count
         total_nll = float(sum(float(x) for x in nll_parts))
         return total_tokens, total_nll
+
+    def _transposed_mem(self) -> bool:
+        # D-major ring memory feeds the fused-attention kv projection without
+        # a relayout; only meaningful (and only legal) on the pallas path
+        from ..models.transformer_xl import resolve_attn_impl
+        return resolve_attn_impl(self.cfg.model) == "pallas"
 
     # ------------------------------------------------------------------
     def train(self, max_step: Optional[int] = None) -> None:
@@ -125,7 +132,8 @@ class Trainer:
         max_step = max_step or tcfg.max_step
         memory = init_train_memory(self.cfg.model.num_layers, tcfg.batch_size,
                                    tcfg.mem_length, self.cfg.model.units,
-                                   tcfg.batch_chunk, dtype=self.model_dtype)
+                                   tcfg.batch_chunk, dtype=self.model_dtype,
+                                   transposed=self._transposed_mem())
 
         it = self.dataset.train_iterator(
             tcfg.batch_size, tcfg.tgt_length, shuffle=True, seed=tcfg.seed)

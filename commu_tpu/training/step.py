@@ -46,7 +46,9 @@ class TrainState:
 
 @struct.dataclass
 class TrainMemory:
-    """XL memory pre-laid-out for the micro-batch scan: [C, L+1, B/C, M, D].
+    """XL memory pre-laid-out for the micro-batch scan: [C, L+1, B/C, M, D]
+    (or [C, L+1, B/C, D, M] when transposed — the layout the fused-attention
+    kv projection reads without a relayout copy).
 
     Keeping the chunk axis leading means the scan consumes it directly —
     reshaping a ~2 GB buffer twice per step costs ~19 ms on a v5e chip."""
@@ -54,28 +56,35 @@ class TrainMemory:
     hidden: jnp.ndarray
     count: jnp.ndarray
     head: jnp.ndarray
+    transposed: bool = struct.field(pytree_node=False, default=False)
 
 
 def chunk_memory(memory: Memory, n_chunks: int) -> TrainMemory:
-    l1, batch, m, d = memory.hidden.shape
-    hidden = memory.hidden.reshape(l1, n_chunks, batch // n_chunks, m, d)
+    l1, batch = memory.hidden.shape[:2]
+    hidden = memory.hidden.reshape(
+        (l1, n_chunks, batch // n_chunks) + memory.hidden.shape[2:])
     return TrainMemory(hidden=jnp.moveaxis(hidden, 1, 0), count=memory.count,
-                       head=memory.head)
+                       head=memory.head, transposed=memory.transposed)
 
 
 def unchunk_memory(tm: TrainMemory) -> Memory:
-    c, l1, b, m, d = tm.hidden.shape
-    hidden = jnp.moveaxis(tm.hidden, 0, 1).reshape(l1, c * b, m, d)
-    return Memory(hidden=hidden, count=tm.count, head=tm.head)
+    c, l1, b = tm.hidden.shape[:3]
+    hidden = jnp.moveaxis(tm.hidden, 0, 1).reshape(
+        (l1, c * b) + tm.hidden.shape[3:])
+    return Memory(hidden=hidden, count=tm.count, head=tm.head,
+                  transposed=tm.transposed)
 
 
 def init_train_memory(num_layers: int, batch: int, capacity: int,
-                      d_model: int, n_chunks: int, dtype=jnp.float32) -> TrainMemory:
+                      d_model: int, n_chunks: int, dtype=jnp.float32,
+                      transposed: bool = False) -> TrainMemory:
+    tail = (d_model, capacity) if transposed else (capacity, d_model)
     return TrainMemory(
-        hidden=jnp.zeros((n_chunks, num_layers + 1, batch // n_chunks,
-                          capacity, d_model), dtype=dtype),
+        hidden=jnp.zeros((n_chunks, num_layers + 1, batch // n_chunks) + tail,
+                         dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
         head=jnp.zeros((), dtype=jnp.int32),
+        transposed=transposed,
     )
 
 
@@ -174,6 +183,8 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         # costs a ~2 GB rewrite per step)
         new_rows = jax.lax.stop_gradient(
             jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
+        if memory.transposed:
+            new_rows = jnp.swapaxes(new_rows, 2, 3)      # [L+1, B/C, D, T]
         return loss / n_chunks, (new_rows, nll_sum, token_count)
 
     if remat:
@@ -195,7 +206,8 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
             grads_acc, nll_acc, tok_acc = carry
             chunk_idx, chunk_in, chunk_tgt, chunk_reset, chunk_mem_h = xs
             chunk_mem = Memory(hidden=chunk_mem_h, count=memory.count,
-                               head=memory.head)
+                               head=memory.head,
+                               transposed=memory.transposed)
             rng_c = jax.random.fold_in(base_rng, chunk_idx)
             grads, (new_rows, nll_sum, tok) = jax.grad(
                 chunk_loss, has_aux=True)(state.params, chunk_mem, chunk_in,
@@ -207,29 +219,36 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
             scan_body, (grad_zero, 0.0, 0.0),
             (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
              to_chunks(reset), memory.hidden))
-        # new_rows: [C, L+1, B/C, T, D]
+        # new_rows: [C, L+1, B/C, T, D] ([C, L+1, B/C, D, T] transposed)
         t_len = inputs.shape[1]
-        m_cap = memory.hidden.shape[3]
+        m_cap = memory.hidden.shape[4 if memory.transposed else 3]
         from ..models.transformer_xl import resolve_attn_impl
         ring = (resolve_attn_impl(cfg.model) == "pallas"
                 and 0 < t_len <= m_cap and m_cap % t_len == 0)
         if ring:
             # ONE in-place write of the new rows into the donated ring buffer
+            offset = (0, 0, 0, 0, memory.head) if memory.transposed else \
+                (0, 0, 0, memory.head, 0)
             new_hidden = jax.lax.dynamic_update_slice(
-                memory.hidden, new_rows, (0, 0, 0, memory.head, 0))
+                memory.hidden, new_rows, offset)
             new_head = jnp.mod(memory.head + t_len, m_cap)
         elif t_len < m_cap:
+            assert not memory.transposed, \
+                "transposed memory requires the ring layout (pallas path)"
             new_hidden = jnp.concatenate(
                 [memory.hidden[..., t_len:, :], new_rows], axis=3)
             new_head = jnp.zeros((), jnp.int32)
         else:
+            assert not memory.transposed, \
+                "transposed memory requires the ring layout (pallas path)"
             new_hidden = new_rows[..., -m_cap:, :]
             new_head = jnp.zeros((), jnp.int32)
 
         new_memory = TrainMemory(
             hidden=new_hidden,
             count=jnp.minimum(memory.count + t_len, m_cap),
-            head=new_head)
+            head=new_head,
+            transposed=memory.transposed)
 
         grads, grad_norm = _clip_by_global_norm(grads, clip)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
