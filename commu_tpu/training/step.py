@@ -145,7 +145,8 @@ def chunked_masked_nll(logits: jnp.ndarray, targets: jnp.ndarray,
 
 def make_train_step(model: TransformerXL, cfg: TrainingConfig,
                     num_devices: int = 1,
-                    *, remat: Optional[bool] = None) -> Callable:
+                    *, remat: Optional[bool] = None,
+                    unroll: bool = False) -> Callable:
     """Build the train step: (state, memory, batch, rng) -> updated.
 
     The batch is processed as ``batch_chunk`` micro-batches via ``lax.scan``
@@ -215,16 +216,42 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return ((grads_acc, nll_acc + nll_sum, tok_acc + tok), new_rows)
 
-        (grads, nll_sum, token_count), new_rows = jax.lax.scan(
-            scan_body, (grad_zero, 0.0, 0.0),
-            (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
-             to_chunks(reset), memory.hidden))
-        # new_rows: [C, L+1, B/C, T, D] ([C, L+1, B/C, D, T] transposed)
         t_len = inputs.shape[1]
         m_cap = memory.hidden.shape[4 if memory.transposed else 3]
         from ..models.transformer_xl import resolve_attn_impl
         ring = (resolve_attn_impl(cfg.model) == "pallas"
                 and 0 < t_len <= m_cap and m_cap % t_len == 0)
+        if unroll and ring:
+            # unrolled micro-batches: XLA assigns each chunk's memory slice
+            # the layout its consumers want (the lax.scan carry forces one
+            # layout onto producer AND consumer, costing ~17 ms/step of
+            # pathological transposes at the training shape); each chunk's
+            # new rows go straight into the donated ring buffer
+            carry = (grad_zero, 0.0, 0.0)
+            ins, tgts, rsts = to_chunks(inputs), to_chunks(targets), \
+                to_chunks(reset)
+            new_hidden = memory.hidden
+            for ci in range(n_chunks):
+                carry, r = scan_body(carry, (jnp.int32(ci), ins[ci], tgts[ci],
+                                             rsts[ci], memory.hidden[ci]))
+                offset = (ci, 0, 0, 0, memory.head) if memory.transposed \
+                    else (ci, 0, 0, memory.head, 0)
+                new_hidden = jax.lax.dynamic_update_slice(
+                    new_hidden, r[None], offset)
+            (grads, nll_sum, token_count) = carry
+            new_head = jnp.mod(memory.head + t_len, m_cap)
+            new_memory = TrainMemory(
+                hidden=new_hidden,
+                count=jnp.minimum(memory.count + t_len, m_cap),
+                head=new_head,
+                transposed=memory.transposed)
+            return _finish(state, new_memory, grads, nll_sum, token_count)
+
+        (grads, nll_sum, token_count), new_rows = jax.lax.scan(
+            scan_body, (grad_zero, 0.0, 0.0),
+            (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
+             to_chunks(reset), memory.hidden))
+        # new_rows: [C, L+1, B/C, T, D] ([C, L+1, B/C, D, T] transposed)
         if ring:
             # ONE in-place write of the new rows into the donated ring buffer
             offset = (0, 0, 0, 0, memory.head) if memory.transposed else \
@@ -249,7 +276,9 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
             count=jnp.minimum(memory.count + t_len, m_cap),
             head=new_head,
             transposed=memory.transposed)
+        return _finish(state, new_memory, grads, nll_sum, token_count)
 
+    def _finish(state, new_memory, grads, nll_sum, token_count):
         grads, grad_norm = _clip_by_global_norm(grads, clip)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
