@@ -31,13 +31,16 @@ def main():
     tcfg = cfg.train
     batch, tgt = tcfg.batch_size, tcfg.tgt_length
 
+    import os
+    physical = int(os.environ.get("COMMU_PHYSICAL_CHUNKS", tcfg.batch_chunk))
     model = TransformerXL(VOCAB_SIZE, cfg.model, dtype=jnp.bfloat16)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg)
-    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0, 1))
+    step = jax.jit(make_train_step(model, cfg, physical_chunks=physical),
+                   donate_argnums=(0, 1))
     from commu_tpu.models.transformer_xl import resolve_attn_impl
     memory = init_train_memory(
         cfg.model.num_layers, batch, tcfg.mem_length, cfg.model.units,
-        tcfg.batch_chunk, dtype=jnp.bfloat16,
+        physical, dtype=jnp.bfloat16,
         transposed=resolve_attn_impl(cfg.model) == "pallas")
 
     rng = np.random.RandomState(0)

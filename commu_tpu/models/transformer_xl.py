@@ -380,8 +380,10 @@ class TransformerXL(nn.Module):
         if ring:
             if memory.transposed:
                 # the new rows are tiny compared to the buffer: transposing
-                # them here is what keeps the buffer itself relayout-free
-                stacked = jnp.swapaxes(stacked, 2, 3)       # [L+1, B, D, T]
+                # them here (through the layout-anchoring pallas copy) is
+                # what keeps the buffer itself relayout-free
+                from ..ops.layout import transpose_last2
+                stacked = transpose_last2(stacked)          # [L+1, B, D, T]
                 offset = (0, 0, 0, memory.head)
             else:
                 offset = (0, 0, memory.head, 0)

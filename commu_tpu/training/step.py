@@ -146,7 +146,8 @@ def chunked_masked_nll(logits: jnp.ndarray, targets: jnp.ndarray,
 def make_train_step(model: TransformerXL, cfg: TrainingConfig,
                     num_devices: int = 1,
                     *, remat: Optional[bool] = None,
-                    unroll: bool = False) -> Callable:
+                    unroll: bool = False,
+                    physical_chunks: Optional[int] = None) -> Callable:
     """Build the train step: (state, memory, batch, rng) -> updated.
 
     The batch is processed as ``batch_chunk`` micro-batches via ``lax.scan``
@@ -159,7 +160,15 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
     probabilities in exchange for ~1/3 more FLOPs.
     """
     tx = make_optimizer(cfg, num_devices)
-    n_chunks = cfg.train.batch_chunk
+    # LOSS semantics always follow cfg.train.batch_chunk (the reference's
+    # mean-of-chunk-means, train.py:139-155); ``physical_chunks`` only sets
+    # how many forward/backward passes realize it.  The GPU reference chunks
+    # to fit memory; a v5e chip fits the full 256-row backward, and fewer
+    # physical chunks mean fewer scan-carry relayouts of the XL memory.
+    sem_chunks = cfg.train.batch_chunk
+    n_chunks = physical_chunks or sem_chunks
+    assert sem_chunks % n_chunks == 0, (sem_chunks, n_chunks)
+    sem_per_physical = (sem_chunks // n_chunks) * num_devices
     clip = cfg.train.clip
     if remat is None:
         # the fused kernel never materializes attention probabilities, so the
@@ -178,14 +187,18 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         # per-device sub-chunk means reproduce the reference's per-rank chunk
         # loss under DDP averaging (see chunked_masked_nll)
         loss, nll_sum, token_count = chunked_masked_nll(logits, targets,
-                                                        num_devices)
+                                                        sem_per_physical)
         # only the NEW T rows leave the chunk — the memory write happens once,
         # in place, outside the scan (writing full ring buffers as scan ys
         # costs a ~2 GB rewrite per step)
         new_rows = jax.lax.stop_gradient(
             jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
         if memory.transposed:
-            new_rows = jnp.swapaxes(new_rows, 2, 3)      # [L+1, B/C, D, T]
+            # pallas transpose-copy: does [B,T,D]->[B,D,T] in VMEM AND anchors
+            # the standard physical layout so the ring buffer, its update and
+            # the kv projections agree (see commu_tpu.ops.layout)
+            from ..ops.layout import transpose_last2
+            new_rows = transpose_last2(new_rows)         # [L+1, B/C, D, T]
         return loss / n_chunks, (new_rows, nll_sum, token_count)
 
     if remat:
