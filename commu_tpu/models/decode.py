@@ -9,8 +9,15 @@ commu/model/model.py:606-628,540-604).  The TPU-native decode path instead:
 - keeps the cache LEFT-ALIGNED with a per-row ``length`` so a whole batch of
   prompts decodes in lock-step inside one jit loop even when rows advance at
   different rates (the teacher-forcing state machine can stall a row);
-- precomputes the relative-position projections R_l(d) for every distance d
-  once, turning the XL `BD` term into one einsum + a cheap index gather.
+- stores the cache LANE-DENSE as [L, G, H, dh, M] — with the head dim minor
+  ([.., M, H, dh]) the dh=50 axis pads to 128 lanes, a 2.56x tax on the
+  cache reads that dominate each decode step AND on the full-buffer commit
+  select;
+- computes the XL ``BD`` term through the angle-addition factorization (see
+  commu_tpu.ops.fused_attention): BD[g,h,m] = u[g,h]·emb(len_g − m) with the
+  sinusoid factored into per-ROW trig of the current length (tiny, computed
+  on the fly from the traced lengths) times a static per-SLOT basis table —
+  one matmul instead of the pad/reverse/per-row-dynamic-slice dance.
 
 Numerical contract: identical logits to ``TransformerXL.forward`` (and hence
 to the reference's ``forward_generate``) for any prefix — asserted by
@@ -27,14 +34,15 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import ModelConfig
-from ..ops.rel_attention import relative_position_embedding
+from ..ops.fused_attention import (_fpad, _inv_freq, key_trig_basis,
+                                   pack_r_kernel)
 
 
 @struct.dataclass
 class KVCache:
     """Left-aligned per-layer key/value cache.
 
-    k, v: [L, G, M, H, Dh]; length: [G] valid prefix length per row.
+    k, v: [L, G, H, Dh, M]; length: [G] valid prefix length per row.
     """
 
     k: jnp.ndarray
@@ -46,7 +54,7 @@ def init_cache(cfg: ModelConfig, batch: int, capacity: int,
                dtype=jnp.float32) -> KVCache:
     n_head = cfg.num_heads
     d_head = cfg.units // n_head
-    shape = (cfg.num_layers, batch, capacity, n_head, d_head)
+    shape = (cfg.num_layers, batch, n_head, d_head, capacity)
     return KVCache(
         k=jnp.zeros(shape, dtype=dtype),
         v=jnp.zeros(shape, dtype=dtype),
@@ -58,19 +66,26 @@ def _layer(params, i: int):
     return params[f"layer_{i}"]
 
 
-def precompute_rel(params, cfg: ModelConfig, max_distance: int) -> jnp.ndarray:
-    """R[l, d, h, k] = r_net_l(sinusoid(d)) for distances d in [0, max_distance]."""
-    n_head = cfg.num_heads
-    d_head = cfg.units // n_head
-    # relative_position_embedding(n) covers distances n-1..0 (descending);
-    # flip to ascending d = 0..max_distance.
-    pos = relative_position_embedding(max_distance + 1, cfg.units,
-                                      jnp.float32, cfg.clamp_len)[::-1]
-    rs = []
-    for i in range(cfg.num_layers):
-        kernel = _layer(params, i)["attn"]["r_net"]["kernel"]  # [D, H*Dh]
-        rs.append((pos @ kernel).reshape(max_distance + 1, n_head, d_head))
-    return jnp.stack(rs)  # [L, max_dist+1, H, Dh]
+def precompute_rel(params, cfg: ModelConfig, max_distance: int):
+    """Position-score tables: (W_r [L, H, Dh, 2F] packed per layer,
+    psi [2F, max_distance+1] per-slot trig basis).
+
+    BD[g, h, m] = qr[g,h] · r_net(emb(length_g − m)) factors through the
+    angle-addition identities into (qr W_r, trig(length_g)) × psi(m); the
+    per-row trig factors are computed each step from the traced lengths.
+    Requires the unclamped sinusoid (cfg.clamp_len <= 0 — the reference's
+    configuration, config_helper.py:7-14).
+    """
+    if cfg.clamp_len > 0:
+        raise NotImplementedError(
+            "decode requires clamp_len <= 0 (reference default)")
+    wr = jnp.stack([
+        pack_r_kernel(_layer(params, i)["attn"]["r_net"]["kernel"],
+                      cfg.num_heads)
+        for i in range(cfg.num_layers)
+    ])                                                # [L, H, Dh, 2F]
+    psi = key_trig_basis(max_distance + 1, cfg.units, dtype=jnp.float32)
+    return wr, psi
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
@@ -80,11 +95,12 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
+def decode_step(params, cfg: ModelConfig, rel, tokens: jnp.ndarray,
                 cache: KVCache) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One-token forward for every row.
 
     Args:
+        rel: (W_r, psi) from ``precompute_rel``.
         tokens: [G] int32 — each row's current last token.
         cache:  KVCache whose first ``length[g]`` slots hold row g's context.
 
@@ -95,11 +111,13 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
         (first_loop / logits-reuse iterations do not advance memory,
         midi_inferrer.py:253-260).
     """
+    wr_all, psi = rel
     n_head = cfg.num_heads
     d_head = cfg.units // n_head
     hd = n_head * d_head
-    capacity = cache.k.shape[2]
+    capacity = cache.k.shape[4]
     scale = 1.0 / (d_head ** 0.5)
+    fpad = _fpad(cfg.units)
 
     emb = params["embedding"]
     dtype = emb.dtype  # bf16 params -> mixed-precision decode (f32 softmax/LN)
@@ -109,13 +127,13 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
 
     j_idx = jnp.arange(capacity)[None, :]          # [1, M]
     valid = j_idx < cache.length[:, None]          # [G, M]
-    max_dist = rel.shape[1] - 1
-    # BD needs P at distance (length - j) for key slot j: with P reversed
-    # along the distance axis (and right-padded so out-of-range negative
-    # distances read zeros — those slots are masked anyway), that is ONE
-    # contiguous dynamic_slice per row starting at (max_dist - length) —
-    # far cheaper than an elementwise gather inside the sampling while_loop.
-    slice_start = jnp.clip(max_dist - cache.length, 0, max_dist)
+    # per-row trig factors of the current length (distance base a_g = len_g)
+    ang = cache.length[:, None].astype(jnp.float32) * \
+        _inv_freq(cfg.units)[None, :]              # [G, F0]
+    pad = fpad - ang.shape[1]
+    sin_a = jnp.pad(jnp.sin(ang), ((0, 0), (0, pad)))      # [G, F]
+    cos_a = jnp.pad(jnp.cos(ang), ((0, 0), (0, pad)))
+    psi_m = psi[:, :capacity]                      # [2F, M]
 
     k_selfs, v_selfs = [], []
     for i in range(cfg.num_layers):
@@ -131,18 +149,22 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
         qr = q + r_r
         # content scores over cache + self (operands stay in storage dtype;
         # scores accumulate in f32)
-        ac = jnp.einsum("ghd,gjhd->ghj", qw, cache.k[i].astype(dtype),
+        ac = jnp.einsum("ghd,ghdm->ghm", qw, cache.k[i].astype(dtype),
                         preferred_element_type=jnp.float32)
         ac_self = jnp.einsum("ghd,ghd->gh", qw, k_self,
                              preferred_element_type=jnp.float32)
-        # position scores: P[g,h,d] for all distances, then per-row slice
-        p = jnp.einsum("ghd,jhd->ghj", qr, rel[i].astype(dtype),
-                       preferred_element_type=jnp.float32)
-        p_rev = jnp.pad(p[:, :, ::-1], ((0, 0), (0, 0), (0, capacity)))
-        bd = jax.vmap(
-            lambda row, s: jax.lax.dynamic_slice(
-                row, (0, s), (n_head, capacity)))(p_rev, slice_start)
-        bd_self = p[:, :, 0]
+        # position scores via angle addition: u = qr W_r, then the per-row
+        # trig rotation, then one matmul against the slot basis
+        u = jnp.einsum("ghd,hdf->ghf", qr, wr_all[i].astype(dtype),
+                       preferred_element_type=jnp.float32)   # [G, H, 2F]
+        u_s, u_c = u[..., :fpad], u[..., fpad:]
+        phi_cos = u_s * sin_a[:, None] + u_c * cos_a[:, None]
+        phi_sin = u_c * sin_a[:, None] - u_s * cos_a[:, None]
+        phi = jnp.concatenate([phi_cos, phi_sin], axis=-1)   # [G, H, 2F]
+        bd = jnp.einsum("ghf,fm->ghm", phi.astype(jnp.float32), psi_m,
+                        preferred_element_type=jnp.float32)
+        # self term is distance 0: emb(0) = [sin 0 | cos 0] = [0... | 1...]
+        bd_self = u_c.sum(axis=-1)                           # [G, H]
 
         score = (ac + bd) * scale                   # [G, H, M]
         score = jnp.where(valid[:, None, :], score, -jnp.inf)
@@ -150,7 +172,7 @@ def decode_step(params, cfg: ModelConfig, rel: jnp.ndarray, tokens: jnp.ndarray,
         full = jnp.concatenate([score, score_self], axis=2)
         probs = jax.nn.softmax(full, axis=2)
 
-        out = jnp.einsum("ghj,gjhd->ghd", probs[:, :, :capacity].astype(dtype),
+        out = jnp.einsum("ghm,ghdm->ghd", probs[:, :, :capacity].astype(dtype),
                          cache.v[i].astype(dtype),
                          preferred_element_type=jnp.float32)
         out = out + probs[:, :, capacity][:, :, None] * v_self.astype(jnp.float32)
@@ -178,12 +200,12 @@ def commit(cache: KVCache, k_self: jnp.ndarray, v_self: jnp.ndarray,
     TPU (scatters serialize; the select runs at full HBM bandwidth and the
     donated buffer aliases in place inside the sampling while_loop).
     """
-    capacity = cache.k.shape[2]
+    capacity = cache.k.shape[4]
     one_hot = (jnp.arange(capacity)[None, :] == cache.length[:, None])
     write = one_hot & advance[:, None]               # [G, M]
-    w = write[None, :, :, None, None]                # [L, G, M, 1, 1]
-    new_k = jnp.where(w, k_self[:, :, None].astype(cache.k.dtype), cache.k)
-    new_v = jnp.where(w, v_self[:, :, None].astype(cache.v.dtype), cache.v)
+    w = write[None, :, None, None, :]                # [L, G, 1, 1, M]
+    new_k = jnp.where(w, k_self[..., None].astype(cache.k.dtype), cache.k)
+    new_v = jnp.where(w, v_self[..., None].astype(cache.v.dtype), cache.v)
     new_len = cache.length + advance.astype(jnp.int32)
     return KVCache(k=new_k, v=new_v, length=new_len)
 
@@ -209,9 +231,9 @@ def prefill(model, params, cfg: ModelConfig, tokens: jnp.ndarray,
     for i in range(cfg.num_layers):
         kernel = _layer(params, i)["attn"]["kv_net"]["kernel"]
         kv = hids[i].astype(jnp.float32) @ kernel      # [G, T, 2*hd]
-        k = kv[..., :hd].reshape(batch, t, n_head, d_head)
-        v = kv[..., hd:].reshape(batch, t, n_head, d_head)
-        new_k = new_k.at[i, :, :t].set(k)
-        new_v = new_v.at[i, :, :t].set(v)
+        k = kv[..., :hd].reshape(batch, t, n_head, d_head).transpose(0, 2, 3, 1)
+        v = kv[..., hd:].reshape(batch, t, n_head, d_head).transpose(0, 2, 3, 1)
+        new_k = new_k.at[i, :, :, :, :t].set(k.astype(new_k.dtype))
+        new_v = new_v.at[i, :, :, :, :t].set(v.astype(new_v.dtype))
     return KVCache(k=new_k, v=new_v,
                    length=jnp.full((batch,), t, dtype=jnp.int32))

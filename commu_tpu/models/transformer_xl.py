@@ -327,7 +327,7 @@ class TransformerXL(nn.Module):
 
         if resolve_attn_impl(cfg) == "pallas":
             from ..ops import fused_attention as fa
-            if not memory.transposed and mem_capacity:
+            if not memory.transposed:
                 # tests/back-compat: the kernel's kv projection wants D-major
                 # memory; production memories are created transposed
                 mem_hidden = jnp.swapaxes(mem_hidden, 2, 3)
