@@ -219,6 +219,16 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         def scan_body(carry, xs):
             grads_acc, nll_acc, tok_acc = carry
             chunk_idx, chunk_in, chunk_tgt, chunk_reset, chunk_mem_h = xs
+            if memory.transposed:
+                # pin the sliced chunk memory to the standard layout before
+                # the kv projections consume it — XLA's scan layout
+                # assignment otherwise relays the slice out twice
+                # (measured +2.5k tokens/s; pinning the scan xs or the ring
+                # buffer itself instead makes things worse)
+                from jax.experimental.layout import Layout, \
+                    with_layout_constraint
+                chunk_mem_h = with_layout_constraint(
+                    chunk_mem_h, Layout(tuple(range(chunk_mem_h.ndim))))
             chunk_mem = Memory(hidden=chunk_mem_h, count=memory.count,
                                head=memory.head,
                                transposed=memory.transposed)
