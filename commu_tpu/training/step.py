@@ -218,7 +218,12 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
 
         def scan_body(carry, xs):
             grads_acc, nll_acc, tok_acc = carry
-            chunk_idx, chunk_in, chunk_tgt, chunk_reset, chunk_mem_h = xs
+            chunk_idx, chunk_in, chunk_tgt, chunk_reset = xs
+            # index the closed-over (loop-invariant) buffer directly instead
+            # of passing it as scan xs — the xs slicing machinery relays the
+            # slice out before the layout constraint can take hold
+            chunk_mem_h = jax.lax.dynamic_index_in_dim(
+                memory.hidden, chunk_idx, 0, keepdims=False)
             if memory.transposed:
                 # pin the sliced chunk memory to the standard layout before
                 # the kv projections consume it — XLA's scan layout
@@ -256,7 +261,7 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
             new_hidden = memory.hidden
             for ci in range(n_chunks):
                 carry, r = scan_body(carry, (jnp.int32(ci), ins[ci], tgts[ci],
-                                             rsts[ci], memory.hidden[ci]))
+                                             rsts[ci]))
                 offset = (ci, 0, 0, 0, memory.head) if memory.transposed \
                     else (ci, 0, 0, memory.head, 0)
                 new_hidden = jax.lax.dynamic_update_slice(
@@ -273,7 +278,7 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         (grads, nll_sum, token_count), new_rows = jax.lax.scan(
             scan_body, (grad_zero, 0.0, 0.0),
             (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
-             to_chunks(reset), memory.hidden))
+             to_chunks(reset)))
         # new_rows: [C, L+1, B/C, T, D] ([C, L+1, B/C, D, T] transposed)
         if ring:
             # ONE in-place write of the new rows into the donated ring buffer
