@@ -23,8 +23,10 @@ def main():
 
     from commu_tpu.config import get_default_cfg_training
     from commu_tpu.models.transformer_xl import TransformerXL
+    from commu_tpu.parallel import make_mesh, shard_train_step
     from commu_tpu.training.step import (create_train_state, init_train_memory,
-                                         make_train_step)
+                                         make_train_step,
+                                         resolve_physical_chunks)
     from commu_tpu.vocab.event_tokens import VOCAB_SIZE
 
     cfg = get_default_cfg_training()
@@ -32,16 +34,21 @@ def main():
     batch, tgt = tcfg.batch_size, tcfg.tgt_length
 
     import os
-    physical = int(os.environ.get("COMMU_PHYSICAL_CHUNKS", tcfg.batch_chunk))
+    env_chunks = os.environ.get("COMMU_PHYSICAL_CHUNKS")
+    physical = resolve_physical_chunks(
+        cfg, int(env_chunks) if env_chunks else None)
     model = TransformerXL(VOCAB_SIZE, cfg.model, dtype=jnp.bfloat16)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg)
-    step = jax.jit(make_train_step(model, cfg, physical_chunks=physical),
-                   donate_argnums=(0, 1))
+    # the production jit path: 1-device mesh, donated ring buffer with the
+    # row-major layout pinned at the jit boundary (commu_tpu.parallel.mesh)
     from commu_tpu.models.transformer_xl import resolve_attn_impl
+    transposed = resolve_attn_impl(cfg.model) == "pallas"
+    step = shard_train_step(
+        make_train_step(model, cfg, physical_chunks=physical), make_mesh(1),
+        transposed=transposed)
     memory = init_train_memory(
         cfg.model.num_layers, batch, tcfg.mem_length, cfg.model.units,
-        physical, dtype=jnp.bfloat16,
-        transposed=resolve_attn_impl(cfg.model) == "pallas")
+        physical, dtype=jnp.bfloat16, transposed=transposed)
 
     rng = np.random.RandomState(0)
     def make_batch():

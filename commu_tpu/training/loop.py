@@ -60,10 +60,13 @@ class Trainer:
 
         self.dataset = ComMUDataset(data_dir)
         self.model = TransformerXL(VOCAB_SIZE, self.cfg.model, dtype=model_dtype)
+        transposed = self._transposed_mem()
         self.train_step = shard_train_step(
-            make_train_step(self.model, self.cfg, self.num_devices), self.mesh)
+            make_train_step(self.model, self.cfg, self.num_devices), self.mesh,
+            transposed=transposed)
         self.eval_step = shard_eval_step(
-            make_eval_step(self.model, same_length=True), self.mesh)
+            make_eval_step(self.model, same_length=True), self.mesh,
+            transposed=transposed)
 
         rng = jax.random.PRNGKey(tcfg.seed)
         self.init_rng, self.run_rng = jax.random.split(rng)
@@ -126,13 +129,14 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, max_step: Optional[int] = None) -> None:
-        from .step import init_train_memory
+        from .step import init_train_memory, resolve_physical_chunks
 
         tcfg = self.cfg.train
         max_step = max_step or tcfg.max_step
         memory = init_train_memory(self.cfg.model.num_layers, tcfg.batch_size,
                                    tcfg.mem_length, self.cfg.model.units,
-                                   tcfg.batch_chunk, dtype=self.model_dtype,
+                                   resolve_physical_chunks(self.cfg),
+                                   dtype=self.model_dtype,
                                    transposed=self._transposed_mem())
 
         it = self.dataset.train_iterator(

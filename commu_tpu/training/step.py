@@ -88,6 +88,27 @@ def init_train_memory(num_layers: int, batch: int, capacity: int,
     )
 
 
+def resolve_physical_chunks(cfg: TrainingConfig,
+                            requested: Optional[int] = None) -> int:
+    """How many physical micro-batches realize the ``batch_chunk`` loss.
+
+    The loss ALWAYS keeps the reference's mean-of-chunk-means semantics over
+    ``cfg.train.batch_chunk`` chunks (reference train.py:139-155); this only
+    chooses how many forward/backward passes compute it.  The GPU reference
+    chunks to fit memory; on the pallas path one v5e chip fits the whole
+    256-row backward (the fused kernel never materializes attention
+    probabilities), and ONE pass avoids all per-chunk ring-buffer slicing —
+    measured 197k -> 207k tokens/s/chip at the reference shape.  The XLA
+    path keeps the reference chunking (its backward stores attention
+    probabilities and does not fit unchunked)."""
+    if requested:
+        return requested
+    from ..models.transformer_xl import resolve_attn_impl
+    if resolve_attn_impl(cfg.model) == "pallas":
+        return 1
+    return cfg.train.batch_chunk
+
+
 def make_optimizer(cfg: TrainingConfig, num_devices: int = 1) -> optax.GradientTransformation:
     """Adam with the reference's schedule; weight decay applied torch-style
     (added to the gradient before the moment updates) when nonzero."""
@@ -166,7 +187,7 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
     # to fit memory; a v5e chip fits the full 256-row backward, and fewer
     # physical chunks mean fewer scan-carry relayouts of the XL memory.
     sem_chunks = cfg.train.batch_chunk
-    n_chunks = physical_chunks or sem_chunks
+    n_chunks = resolve_physical_chunks(cfg, physical_chunks)
     assert sem_chunks % n_chunks == 0, (sem_chunks, n_chunks)
     sem_per_physical = (sem_chunks // n_chunks) * num_devices
     clip = cfg.train.clip

@@ -26,8 +26,10 @@ def capture(out_dir: str, n_steps: int):
 
     from commu_tpu.config import get_default_cfg_training
     from commu_tpu.models.transformer_xl import TransformerXL
+    from commu_tpu.parallel import make_mesh, shard_train_step
     from commu_tpu.training.step import (create_train_state,
-                                         init_train_memory, make_train_step)
+                                         init_train_memory, make_train_step,
+                                         resolve_physical_chunks)
     from commu_tpu.vocab.event_tokens import VOCAB_SIZE
 
     cfg = get_default_cfg_training()
@@ -35,12 +37,15 @@ def capture(out_dir: str, n_steps: int):
     batch, tgt = tcfg.batch_size, tcfg.tgt_length
     model = TransformerXL(VOCAB_SIZE, cfg.model, dtype=jnp.bfloat16)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg)
-    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0, 1))
+    physical = resolve_physical_chunks(cfg)
     from commu_tpu.models.transformer_xl import resolve_attn_impl
+    transposed = resolve_attn_impl(cfg.model) == "pallas"
+    step = shard_train_step(
+        make_train_step(model, cfg, physical_chunks=physical), make_mesh(1),
+        transposed=transposed)
     memory = init_train_memory(
         cfg.model.num_layers, batch, tcfg.mem_length, cfg.model.units,
-        tcfg.batch_chunk, dtype=jnp.bfloat16,
-        transposed=resolve_attn_impl(cfg.model) == "pallas")
+        physical, dtype=jnp.bfloat16, transposed=transposed)
     rng = np.random.RandomState(0)
     data = rng.randint(1, VOCAB_SIZE, size=(batch, tgt), dtype=np.int32)
     target = rng.randint(1, VOCAB_SIZE, size=(batch, tgt), dtype=np.int32)
