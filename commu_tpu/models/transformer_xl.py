@@ -153,15 +153,16 @@ class RelMultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask,
-                 deterministic: bool, pallas_ctx=None):
+                 deterministic: bool, pallas_ctx=None, layer_idx: int = 0):
         cfg = self.cfg
         d_model = cfg.units
         n_head = cfg.num_heads
         d_head = d_model // n_head
         batch, tgt_len, _ = x.shape
         impl = resolve_attn_impl(cfg)
-        # the pallas path receives D-major memory [B, D, M] (see forward)
-        mem_capacity = mem.shape[2] if impl == "pallas" else mem.shape[1]
+        # the pallas path receives the FULL D-major ring buffer
+        # [L+1, B, D, M] plus this layer's index (see forward)
+        mem_capacity = mem.shape[3] if impl == "pallas" else mem.shape[1]
         klen = mem_capacity + tgt_len
         hd = n_head * d_head
 
@@ -186,16 +187,6 @@ class RelMultiHeadAttention(nn.Module):
                            kernel_slice=slice(0, hd))
             v_win = kv_net(x, "btd,dhc->bhct", (d_model, n_head, d_head),
                            kernel_slice=slice(hd, 2 * hd))
-            if mem_capacity > 0:
-                mem_c = mem.astype(x.dtype)
-                k_mem = kv_net(mem_c, "bdm,dhc->bhcm",
-                               (d_model, n_head, d_head),
-                               kernel_slice=slice(0, hd))
-                v_mem = kv_net(mem_c, "bdm,dhc->bhcm",
-                               (d_model, n_head, d_head),
-                               kernel_slice=slice(hd, 2 * hd))
-            else:
-                k_mem = v_mem = None
             w_r = fused_attention.pack_r_kernel(
                 r_net(None, return_kernel=True), n_head)
 
@@ -207,11 +198,27 @@ class RelMultiHeadAttention(nn.Module):
                     dtype=jnp.int32)
             else:
                 seed = jnp.zeros((), dtype=jnp.int32)
-            vec = fused_attention.attention(
-                q, k_mem, k_win, v_mem, v_win, w_r, psi, r_w_bias, r_r_bias,
-                mem_count, mem_head, reset, d_model=d_model, scale=scale,
-                same_length=same_length, dropout_p=cfg.attention_dropout,
-                dropout_seed=seed, train=not deterministic)
+            if mem_capacity > 0:
+                # the memory half is projected INSIDE the fused-attention VJP
+                # boundary: the memory is stop-gradient (XL semantics), so
+                # the backward accumulates dWk/dWv in-kernel and the
+                # [B, H, dh, M] memory cotangents never exist in HBM
+                kv_kernel = kv_net(None, return_kernel=True)
+                wk3 = kv_kernel[:, :hd].reshape(d_model, n_head, d_head)
+                wv3 = kv_kernel[:, hd:].reshape(d_model, n_head, d_head)
+                vec = fused_attention.attention_mem(
+                    q, mem.astype(x.dtype), layer_idx, wk3, wv3, k_win,
+                    v_win, w_r, psi, r_w_bias, r_r_bias, mem_count, mem_head,
+                    reset, d_model=d_model, scale=scale,
+                    same_length=same_length,
+                    dropout_p=cfg.attention_dropout, dropout_seed=seed,
+                    train=not deterministic)
+            else:
+                vec = fused_attention.attention(
+                    q, None, k_win, None, v_win, w_r, psi, r_w_bias, r_r_bias,
+                    mem_count, mem_head, reset, d_model=d_model, scale=scale,
+                    same_length=same_length, dropout_p=cfg.attention_dropout,
+                    dropout_seed=seed, train=not deterministic)
             out = o_net(vec.astype(x.dtype), "bhct,hcd->btd",
                         (n_head, d_head, d_model))
         else:
@@ -271,10 +278,10 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask,
-                 deterministic: bool, pallas_ctx=None):
+                 deterministic: bool, pallas_ctx=None, layer_idx: int = 0):
         x = RelMultiHeadAttention(self.cfg, self.dtype, name="attn")(
             x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic,
-            pallas_ctx)
+            pallas_ctx, layer_idx)
         return PositionwiseFF(self.cfg, self.dtype, name="ff")(x, deterministic)
 
 
@@ -356,9 +363,14 @@ class TransformerXL(nn.Module):
         h = self.emb_dropout(word_emb, deterministic=deterministic)
 
         hids = [h]
+        pallas = pallas_ctx is not None
         for i, layer in enumerate(self.layers):
-            h = layer(h, mem_hidden[i], pos_emb, self.r_w_bias, self.r_r_bias,
-                      mask, deterministic, pallas_ctx)
+            # pallas: the layer receives the FULL ring buffer + its index so
+            # the backward kernel can block-index the layer without a
+            # materialized per-layer slice
+            h = layer(h, mem_hidden if pallas else mem_hidden[i], pos_emb,
+                      self.r_w_bias, self.r_r_bias, mask, deterministic,
+                      pallas_ctx, i)
             hids.append(h)
         out = self.out_dropout(h, deterministic=deterministic)
 

@@ -309,10 +309,12 @@ def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                       t=t, k_len=k_len, dropout_p=dropout_p, train=train)
 
 
-def _bwd_one_head(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-                  wr_ref, trig_ref, psi_ref, do_ref, e_ref,
-                  dq_ref, dqr_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref,
-                  dwr_ref, b, h, hh, *, t, k_len, dropout_p, train):
+def _bwd_head_math(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+                   wr_ref, trig_ref, psi_ref, do_ref, e_ref, b, h, hh,
+                   *, t, k_len, dropout_p, train):
+    """Per-head backward math -> (dq_ac, dqr, dk [dh,K], dv [dh,K], dwr).
+    ``b``/``h`` are LOGICAL batch/head indices (the dropout mask regenerates
+    from them, independent of grid order)."""
     qw = qw_ref[0, hh, :, :]
     qr = qr_ref[0, hh, :, :]
     if km_ref is not None:
@@ -367,7 +369,18 @@ def _bwd_one_head(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                               preferred_element_type=jnp.float32)    # [dh,T]
     dwr = jax.lax.dot_general(qr, du, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)    # [dh,512]
+    return dq_ac, dqr, dk, dv, dwr
 
+
+def _bwd_one_head(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+                  wr_ref, trig_ref, psi_ref, do_ref, e_ref,
+                  dq_ref, dqr_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref,
+                  dwr_ref, b, h, hh, *, t, k_len, dropout_p, train):
+    m_cap = k_len - t
+    dq_ac, dqr, dk, dv, dwr = _bwd_head_math(
+        scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref, wr_ref,
+        trig_ref, psi_ref, do_ref, e_ref, b, h, hh,
+        t=t, k_len=k_len, dropout_p=dropout_p, train=train)
     dq_ref[0, hh, :, :] = dq_ac.astype(dq_ref.dtype)
     dqr_ref[0, hh, :, :] = dqr.astype(dqr_ref.dtype)
     if dkm_ref is not None:
@@ -563,6 +576,189 @@ fused_core.defvjp(
 )
 
 
+# ---------------------------------------------------------------------------
+# Memory-projection-fused variant: dW IN-KERNEL, no memory-half cotangents
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
+                    vw_ref, mem_ref, wr_ref, trig_ref, psi_ref, mask_ref,
+                    do_ref, e_ref,
+                    dq_ref, dqr_ref, dkw_ref, dvw_ref, dwk_ref, dwv_ref,
+                    dwr_ref, *, t, k_len, dropout_p, train, hp):
+    """Backward with the memory-half weight gradients accumulated IN-KERNEL.
+
+    Grid is (H/hp, B) — batch INNERMOST — so the dWk/dWv/dWr accumulator
+    blocks (indexed by the head group alone) stay VMEM-resident across all
+    batch steps and are flushed once per head group.  The [B, H, dh, M]
+    memory-half cotangents dkm/dvm are consumed on the spot by one dW matmul
+    per head GROUP against the raw memory block (heads batched so the MXU
+    row dim is hp*dh=250, not 50) — they never exist in HBM (at the training
+    shape that removes ~3.1 GB of kernel writes plus the relayout copies and
+    separate dW contractions XLA needed)."""
+    hg, b = pl.program_id(0), pl.program_id(1)
+    m_cap = k_len - t
+    first = b == 0
+    mem_b = mem_ref[0, 0]                                        # [D, M]
+    dk_ms, dv_ms, dwrs = [], [], []
+    for hh in range(hp):
+        h = hg * hp + hh
+        dq_ac, dqr, dk, dv, dwr = _bwd_head_math(
+            scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+            wr_ref, trig_ref, psi_ref, do_ref, e_ref, b, h, hh,
+            t=t, k_len=k_len, dropout_p=dropout_p, train=train)
+        dq_ref[0, hh, :, :] = dq_ac.astype(dq_ref.dtype)
+        dqr_ref[0, hh, :, :] = dqr.astype(dqr_ref.dtype)
+        dkw_ref[0, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
+        dvw_ref[0, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
+        dk_ms.append(dk[:, :m_cap].astype(mem_b.dtype))          # [dh, M]
+        dv_ms.append(dv[:, :m_cap].astype(mem_b.dtype))
+        dwrs.append(dwr)
+    # dW_k[group] += dk_mem @ mem^T over all hp heads at once, accumulated
+    # f32 across the batch grid (the standalone XLA contraction rounds dkm
+    # to bf16 first; here the per-batch-row dW partial accumulates in f32)
+    dk_g = jnp.concatenate(dk_ms, axis=0)                        # [hp*dh, M]
+    dv_g = jnp.concatenate(dv_ms, axis=0)
+    dwk = jax.lax.dot_general(dk_g, mem_b, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dwv = jax.lax.dot_general(dv_g, mem_b, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh, d_model = dk_ms[0].shape[0], mem_b.shape[0]
+    dwk = dwk.reshape(hp, dh, d_model)
+    dwv = dwv.reshape(hp, dh, d_model)
+    dwr_g = jnp.stack(dwrs, axis=0)                              # [hp,dh,512]
+
+    @pl.when(first)
+    def _():
+        dwk_ref[...] = dwk
+        dwv_ref[...] = dwv
+        dwr_ref[...] = dwr_g
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dwk_ref[...] += dwk
+        dwv_ref[...] += dwv
+        dwr_ref[...] += dwr_g
+
+
+def _bwd_call_mem(kernel_fn, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r,
+                  trig_a, psi, mask, scalars, do, e, layer_idx):
+    """pallas_call for the memory-fused backward: grid (H/hp, B).
+
+    ``mem`` is the FULL ring buffer [L+1, B, D, M]; the BlockSpec indexes
+    layer ``layer_idx`` directly so no per-layer slice is ever materialized
+    in HBM (a pallas operand cannot fuse a slice; the block DMA can)."""
+    batch, heads, dh, t = qw.shape
+    m_cap = k_mem.shape[3]
+    d_model = mem.shape[2]
+    hp = heads_per_program(heads)
+    fdim = w_r.shape[2]
+    dtype = qw.dtype
+
+    bh_t = pl.BlockSpec((1, hp, dh, t), lambda h, b, s: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bh_m = pl.BlockSpec((1, hp, dh, m_cap), lambda h, b, s: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mem_spec = pl.BlockSpec(
+        (1, 1, d_model, m_cap),
+        lambda h, b, s: (layer_idx, b, 0, 0), memory_space=pltpu.VMEM)
+    e_blk = pl.BlockSpec((1, hp, t, m_cap + t), lambda h, b, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def resident(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda h, b, s: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    def acc(n):  # per-head-group f32 accumulator, resident across batch
+        return pl.BlockSpec((hp, dh, n), lambda h, b, s: (h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [bh_t, bh_t, bh_m, bh_t, bh_m, bh_t, mem_spec,
+                resident(w_r.shape), resident(trig_a.shape),
+                resident(psi.shape), resident(mask.shape), bh_t, e_blk]
+    out_specs = [bh_t, bh_t, bh_t, bh_t, acc(d_model), acc(d_model),
+                 acc(fdim)]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dqw
+        jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dqr
+        jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dkw
+        jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dvw
+        jax.ShapeDtypeStruct((heads, dh, d_model), jnp.float32),  # dWk
+        jax.ShapeDtypeStruct((heads, dh, d_model), jnp.float32),  # dWv
+        jax.ShapeDtypeStruct((heads, dh, fdim), jnp.float32),     # dWr
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(heads // hp, batch),
+        in_specs=in_specs, out_specs=out_specs)
+    return pl.pallas_call(
+        kernel_fn, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_interpret(),
+    )(scalars, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a, psi,
+      mask, do, e)
+
+
+def _project_mem(mem, layer_idx, w3):
+    """mem[l] [B, D, M] x [D, H, dh] -> [B, H, dh, M] straight from the MXU
+    (the kernel operand layout; XLA fuses the layer slice into the matmul)."""
+    return jnp.einsum("bdm,dhc->bhcm", mem[layer_idx], w3.astype(mem.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def fused_core_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
+                   mask, scalars, dropout_p, train, layer_idx):
+    """fused_core with the memory-half k/v projections INSIDE the VJP
+    boundary: mem is the FULL D-major ring buffer [L+1, B, D, M] (the kernel
+    block-indexes layer ``layer_idx`` so no per-layer slice materializes),
+    wk3/wv3 [D, H, dh] slices of the kv projection.
+
+    The XL memory is stop-gradient by construction (the reference detaches
+    stored hiddens, model.py:507-538; the train step stores
+    ``stop_gradient`` rows), so the memory cotangent is zero and the ONLY
+    consumers of dkm/dvm are the weight gradients — which the backward
+    kernel accumulates in-kernel (``_bwd_kernel_mem``).  The returned mem
+    cotangent is symbolic-zero (DCE'd: nothing differentiates w.r.t. the
+    carried memory buffer)."""
+    k_mem = _project_mem(mem, layer_idx, wk3)
+    v_mem = _project_mem(mem, layer_idx, wv3)
+    out, _ = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
+                        mask, scalars, dropout_p, train, save_e=False)
+    return out
+
+
+def _fused_fwd_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
+                   mask, scalars, dropout_p, train, layer_idx):
+    k_mem = _project_mem(mem, layer_idx, wk3)
+    v_mem = _project_mem(mem, layer_idx, wv3)
+    out, res = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a,
+                          psi, mask, scalars, dropout_p, train, save_e=True)
+    e = res[-1]
+    return out, (qw, qr, mem, wk3, wv3, k_mem, k_win, v_mem, v_win, w_r,
+                 trig_a, psi, mask, scalars, e)
+
+
+def _fused_bwd_mem(dropout_p, train, layer_idx, residuals, g):
+    (qw, qr, mem, wk3, wv3, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
+     mask, scalars, e) = residuals
+    t = qw.shape[3]
+    m_cap = k_mem.shape[3]
+    dtype = qw.dtype
+    kernel = functools.partial(
+        _bwd_kernel_mem, t=t, k_len=m_cap + t, dropout_p=dropout_p,
+        train=train, hp=heads_per_program(qw.shape[1]))
+    dqw, dqr, dkw, dvw, dwk, dwv, dwr = _bwd_call_mem(
+        kernel, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a, psi,
+        mask, scalars, g.astype(dtype), e, layer_idx)
+    # kernel emits [H, dh, D] f32; the projection slice wants [D, H, dh]
+    dwk3 = jnp.transpose(dwk, (2, 0, 1)).astype(wk3.dtype)
+    dwv3 = jnp.transpose(dwv, (2, 0, 1)).astype(wv3.dtype)
+    return (dqw, dqr, jnp.zeros_like(mem), dwk3, dwv3, dkw, dvw,
+            dwr.astype(w_r.dtype), jnp.zeros_like(trig_a),
+            jnp.zeros_like(psi), jnp.zeros_like(mask), None)
+
+
+fused_core_mem.defvjp(_fused_fwd_mem, _fused_bwd_mem)
+
+
 def attention(q, k_mem, k_win, v_mem, v_win, w_r, psi, r_w_bias, r_r_bias,
               mem_count, mem_head, reset: Optional[jnp.ndarray], *, d_model,
               scale, same_length, dropout_p=0.0, dropout_seed=0, train=False):
@@ -585,3 +781,26 @@ def attention(q, k_mem, k_win, v_mem, v_win, w_r, psi, r_w_bias, r_r_bias,
     return fused_core(qw, qr, k_mem, k_win, v_mem, v_win, w_r,
                       trig_a, psi.astype(q.dtype), mask, scalars,
                       dropout_p, train)
+
+
+def attention_mem(q, mem, layer_idx, wk3, wv3, k_win, v_win, w_r, psi,
+                  r_w_bias, r_r_bias, mem_count, mem_head,
+                  reset: Optional[jnp.ndarray],
+                  *, d_model, scale, same_length, dropout_p=0.0,
+                  dropout_seed=0, train=False):
+    """Like ``attention`` but takes the RAW D-major ring buffer
+    [L+1, B, D, M] plus the layer index and the k/v projection slices
+    wk3/wv3 [D, H, dh], and projects the memory half inside the custom-VJP
+    boundary (``fused_core_mem``) — the backward then accumulates
+    dWk/dWv/dWr in-kernel and never materializes the [B,H,dh,M] memory-half
+    cotangents.  Requires a nonempty memory."""
+    t = q.shape[3]
+    m_cap = mem.shape[3]
+    qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
+    qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
+    trig_a = query_trig_table(t, m_cap, d_model, dtype=q.dtype)
+    mask = build_mask_bias(t, m_cap, mem_count, mem_head, same_length)
+    scalars = _scalars(dropout_seed, reset, q.shape[0])
+    return fused_core_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r,
+                          trig_a, psi.astype(q.dtype), mask, scalars,
+                          dropout_p, train, layer_idx)

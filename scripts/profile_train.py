@@ -138,9 +138,10 @@ def parse(out_dir: str, n_steps: int):
     print("by category (ms/step):")
     for cat, ps in by_cat.most_common():
         print(f"  {cat:12s} {ps / n_steps * ms:8.2f}")
-    print("\ntop 25 ops (ms/step):")
-    for name, ps in by_op.most_common(25):
-        print(f"  {ps / n_steps * ms:8.3f}  {name[:110]}")
+    top = int(os.environ.get("PROFILE_TOP", "25"))
+    print(f"\ntop {top} ops (ms/step):")
+    for name, ps in by_op.most_common(top):
+        print(f"  {ps / n_steps * ms:8.3f}  {name[:130]}")
 
 
 def main():
