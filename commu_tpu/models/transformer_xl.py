@@ -144,6 +144,47 @@ class Proj(nn.Module):
         return jnp.einsum(einsum, x, kernel.reshape(kernel_shape))
 
 
+class DenseP(nn.Module):
+    """nn.Dense-compatible (same param names/shapes/init, same bf16
+    application) with value access for the fused-FFN kernel path."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x=None, return_params: bool = False):
+        kernel = self.param("kernel", _normal_init(0.01),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if return_params:
+            return kernel, bias
+        return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class LayerNormP(nn.Module):
+    """nn.LayerNorm-compatible (same param names/shapes/init, f32 fast-
+    variance stats, eps 1e-5) with value access for the fused-FFN kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x=None, return_params: bool = False):
+        scale = self.param("scale", _ln_scale_init(0.01), (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        if return_params:
+            return scale, bias
+        x = x.astype(jnp.float32)
+        mean = x.mean(axis=-1, keepdims=True)
+        var = jnp.maximum((x * x).mean(axis=-1, keepdims=True) - mean * mean,
+                          0.0)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return y * scale + bias
+
+
 class RelMultiHeadAttention(nn.Module):
     """Relative-position multi-head attention with learned content/position
     biases (reference: model.py:272-354)."""
@@ -153,7 +194,8 @@ class RelMultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask,
-                 deterministic: bool, pallas_ctx=None, layer_idx: int = 0):
+                 deterministic: bool, pallas_ctx=None, layer_idx: int = 0,
+                 return_pre_norm: bool = False):
         cfg = self.cfg
         d_model = cfg.units
         n_head = cfg.num_heads
@@ -219,8 +261,14 @@ class RelMultiHeadAttention(nn.Module):
                     mem_count, mem_head, reset, d_model=d_model, scale=scale,
                     same_length=same_length, dropout_p=cfg.attention_dropout,
                     dropout_seed=seed, train=not deterministic)
-            out = o_net(vec.astype(x.dtype), "bhct,hcd->btd",
-                        (n_head, d_head, d_model))
+            if return_pre_norm:
+                # fused-FFN path: emit the projection straight into the
+                # kernel's [B, D, T] orientation, pre-dropout/pre-LN
+                out = o_net(vec.astype(x.dtype), "bhct,hcd->bdt",
+                            (n_head, d_head, d_model))
+            else:
+                out = o_net(vec.astype(x.dtype), "bhct,hcd->btd",
+                            (n_head, d_head, d_model))
         else:
             cat = jnp.concatenate([mem.astype(x.dtype), x], axis=1)
             q = q_net(x).reshape(batch, tgt_len, n_head, d_head)
@@ -242,11 +290,16 @@ class RelMultiHeadAttention(nn.Module):
             vec = jnp.einsum("bhij,bjhd->bihd", probs.astype(v.dtype), v)
             vec = vec.reshape(batch, tgt_len, n_head * d_head)
             out = o_net(vec)
+        ln = LayerNormP(d_model, name="layer_norm")
+        if return_pre_norm:
+            # fused-FFN path (DecoderLayer): ``out`` is [B, D, T] (pallas) or
+            # gets reoriented here; dropout/LN happen inside the fused block
+            if impl != "pallas":
+                out = jnp.swapaxes(out, 1, 2)
+            return out, ln(return_params=True)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
-
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
-                            scale_init=_ln_scale_init(0.01), name="layer_norm")(
-            x.astype(jnp.float32) + out.astype(jnp.float32)).astype(x.dtype)
+        return ln(x.astype(jnp.float32) +
+                  out.astype(jnp.float32)).astype(x.dtype)
 
 
 class PositionwiseFF(nn.Module):
@@ -256,20 +309,21 @@ class PositionwiseFF(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool):
+    def __call__(self, x, deterministic: bool, return_params: bool = False):
         cfg = self.cfg
-        h = nn.Dense(cfg.inner_size, dtype=self.dtype, param_dtype=jnp.float32,
-                     kernel_init=_normal_init(0.01), bias_init=nn.initializers.zeros,
-                     name="ff1")(x)
-        h = nn.relu(h)
+        ff1 = DenseP(cfg.inner_size, cfg.units, self.dtype, name="ff1")
+        ff2 = DenseP(cfg.units, cfg.inner_size, self.dtype, name="ff2")
+        ln = LayerNormP(cfg.units, name="layer_norm")
+        if return_params:
+            # fused-FFN path: the kernel applies these directly
+            return (ff1(return_params=True), ff2(return_params=True),
+                    ln(return_params=True))
+        h = nn.relu(ff1(x))
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(cfg.units, dtype=self.dtype, param_dtype=jnp.float32,
-                     kernel_init=_normal_init(0.01), bias_init=nn.initializers.zeros,
-                     name="ff2")(h)
+        h = ff2(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
-                            scale_init=_ln_scale_init(0.01), name="layer_norm")(
-            x.astype(jnp.float32) + h.astype(jnp.float32)).astype(x.dtype)
+        return ln(x.astype(jnp.float32) +
+                  h.astype(jnp.float32)).astype(x.dtype)
 
 
 class DecoderLayer(nn.Module):
@@ -279,10 +333,36 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask,
                  deterministic: bool, pallas_ctx=None, layer_idx: int = 0):
-        x = RelMultiHeadAttention(self.cfg, self.dtype, name="attn")(
-            x, mem, pos_emb, r_w_bias, r_r_bias, mask, deterministic,
-            pallas_ctx, layer_idx)
-        return PositionwiseFF(self.cfg, self.dtype, name="ff")(x, deterministic)
+        attn = RelMultiHeadAttention(self.cfg, self.dtype, name="attn")
+        ff = PositionwiseFF(self.cfg, self.dtype, name="ff")
+        if pallas_ctx is None:
+            x = attn(x, mem, pos_emb, r_w_bias, r_r_bias, mask,
+                     deterministic, pallas_ctx, layer_idx)
+            return ff(x, deterministic)
+        # pallas path: everything after the attention projection — residual
+        # dropout, both LayerNorms, and the position-wise FFN — runs in ONE
+        # fused kernel over [B, D, T] tiles (commu_tpu.ops.fused_ffn).  The
+        # swapaxes at the boundary are layout bitcasts: XLA already stores
+        # the inter-layer activations T-minor (the attention kernel's
+        # orientation).
+        from ..ops.fused_ffn import ffn_block
+        o, (g1, be1) = attn(x, mem, pos_emb, r_w_bias, r_r_bias, mask,
+                            deterministic, pallas_ctx, layer_idx,
+                            return_pre_norm=True)
+        (w1, b1), (w2, b2), (g2, be2) = ff(None, deterministic,
+                                           return_params=True)
+        train_drop = (not deterministic) and self.cfg.dropout > 0.0
+        if train_drop:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((), dtype=jnp.int32)
+        y = ffn_block(jnp.swapaxes(x, 1, 2), o,
+                      w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                      g1, be1, g2, be2, seed, self.cfg.dropout,
+                      not deterministic)
+        return jnp.swapaxes(y, 1, 2)
 
 
 class TransformerXL(nn.Module):

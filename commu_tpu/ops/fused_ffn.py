@@ -1,0 +1,361 @@
+"""Pallas TPU kernel: fused post-attention block (dropout -> post-LN ->
+position-wise FFN -> post-LN), forward and backward.
+
+Covers everything a decoder layer does after the attention projection
+(reference: the dropout+LayerNorm tail of RelPartialLearnableMultiHeadAttn,
+model.py:344-353, plus PositionwiseFF, model.py:155-181):
+
+    z1 = x + dropout(o)            # attention residual
+    a  = LN1(z1)                   # post-LN, f32 stats over D
+    h1 = relu(W1^T a + b1)
+    f  = W2^T dropout(h1) + b2
+    z2 = a + dropout(f)
+    y  = LN2(z2)
+
+Why a kernel: XLA lays the inter-layer activations out T-minor (the
+attention kernel's [B, H, dh, T] orientation propagates through), and its
+generic lowerings for this segment run far off peak — the FFN dW becomes a
+[1000,500,1] convolution at 13% of MXU peak, each LayerNorm backward is a
+multi-pass f32 VPU fusion, and the bias/residual/dropout elementwise work
+round-trips HBM between each of them (~25 ms/step at the training shape vs
+~8 ms of inherent work).  Here every activation lives as a [D, T] /
+[F, T] VMEM tile (D on sublanes, T on lanes — the same orientation XLA
+already stores, so the boundary ``swapaxes`` are layout bitcasts, not
+copies), the whole segment is two MXU matmuls per batch row forward / four
+backward, and the LayerNorm statistics are one sublane reduction away.
+
+The backward runs a (B,)-grid with the dW1/dW2/db/dgamma/dbeta accumulators
+as f32 VMEM-resident output blocks (constant index map): initialized at
+b == 0, accumulated across the whole grid, flushed once — the same pattern
+as the in-kernel memory dW of commu_tpu.ops.fused_attention.
+
+Dropout masks regenerate in the backward from the same per-(b, site) seed
+(pltpu.prng_*, as in the attention kernel).  LN statistics are checkpointed
+([4, T] f32 per row: mean1, rstd1, mean2, rstd2) so the backward normalizes
+exactly the values the forward produced; z1, z2 and the post-relu h1 are
+checkpointed in the compute dtype.
+
+Numerics match the XLA module path to bf16/f32 tolerance
+(tests/test_fused_attention.py::test_gradient_parity runs the whole layer
+stack through this kernel on the pallas path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_attention import _interpret
+
+LN_EPS = 1e-5
+# distinct dropout streams per (batch row, site)
+_SALT_O, _SALT_H, _SALT_F = 0, 1, 2
+
+
+def _dropout_mask(seed, b, salt, shape, dropout_p):
+    pltpu.prng_seed(seed + b * 8192 + salt * 2048)
+    bits = pltpu.prng_random_bits(shape)
+    thresh = jnp.uint32(min(0xFFFFFFFF, round(dropout_p * 2.0 ** 32)))
+    return bits >= thresh
+
+
+def _apply_drop(val, keep, dropout_p):
+    return jnp.where(keep, val * (1.0 / (1.0 - dropout_p)), 0.0)
+
+
+def _ln_fwd(z, g, be):
+    """z [D, T] f32 -> (y f32, norm f32, mean [1,T], rstd [1,T]); stats over
+    the D (sublane) axis — matches flax nn.LayerNorm(use_fast_variance)."""
+    d = z.shape[0]
+    mean = jnp.sum(z, axis=0, keepdims=True) * (1.0 / d)
+    sq = jnp.sum(z * z, axis=0, keepdims=True) * (1.0 / d)
+    var = jnp.maximum(sq - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    norm = (z - mean) * rstd
+    return norm * g + be, norm, mean, rstd
+
+
+def _ln_bwd(dy, norm, rstd, g):
+    """dz for y = norm * g + be with norm = (z - mean(z)) * rstd."""
+    d = norm.shape[0]
+    dnorm = dy * g
+    m1 = jnp.sum(dnorm, axis=0, keepdims=True) * (1.0 / d)
+    m2 = jnp.sum(dnorm * norm, axis=0, keepdims=True) * (1.0 / d)
+    return rstd * (dnorm - m1 - norm * m2)
+
+
+def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    g1_ref, be1_ref, g2_ref, be2_ref,
+                    y_ref, z1_ref=None, z2_ref=None, h1_ref=None,
+                    stats_ref=None, *, dropout_p, train):
+    b = pl.program_id(0)
+    cdt = x_ref.dtype
+    x = x_ref[0].astype(jnp.float32)                              # [D, T]
+    o = o_ref[0].astype(jnp.float32)
+    drop = train and dropout_p > 0.0
+    seed = scalar_ref[0]
+
+    if drop:
+        keep_o = _dropout_mask(seed, b, _SALT_O, o.shape, dropout_p)
+        o = _apply_drop(o, keep_o, dropout_p)
+    z1 = x + o
+    g1 = g1_ref[:, 0:1].astype(jnp.float32)                       # [D, 1]
+    be1 = be1_ref[:, 0:1].astype(jnp.float32)
+    a_f32, _, mean1, rstd1 = _ln_fwd(z1, g1, be1)
+    a = a_f32.astype(cdt)                                         # [D, T]
+
+    w1 = w1_ref[...]                                              # [D, F]
+    h1_pre = jax.lax.dot_general(w1, a, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1_pre + b1_ref[:, 0:1].astype(jnp.float32), 0.0)
+    h1_c = h1.astype(cdt)                                         # [F, T]
+    if drop:
+        keep_h = _dropout_mask(seed, b, _SALT_H, h1.shape, dropout_p)
+        h1_d = _apply_drop(h1, keep_h, dropout_p).astype(cdt)
+    else:
+        h1_d = h1_c
+
+    w2 = w2_ref[...]                                              # [F, D]
+    f = jax.lax.dot_general(w2, h1_d, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    f = f + b2_ref[:, 0:1].astype(jnp.float32)                    # [D, T]
+    if drop:
+        keep_f = _dropout_mask(seed, b, _SALT_F, f.shape, dropout_p)
+        f = _apply_drop(f, keep_f, dropout_p)
+    z2 = a_f32 + f
+    g2 = g2_ref[:, 0:1].astype(jnp.float32)
+    be2 = be2_ref[:, 0:1].astype(jnp.float32)
+    y, _, mean2, rstd2 = _ln_fwd(z2, g2, be2)
+
+    y_ref[0] = y.astype(y_ref.dtype)
+    if z1_ref is not None:  # VJP forward: checkpoint for the backward
+        z1_ref[0] = z1.astype(z1_ref.dtype)
+        z2_ref[0] = z2.astype(z2_ref.dtype)
+        h1_ref[0] = h1_c
+        stats_ref[0, 0:1, :] = mean1
+        stats_ref[0, 1:2, :] = rstd1
+        stats_ref[0, 2:3, :] = mean2
+        stats_ref[0, 3:4, :] = rstd2
+
+
+def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref,
+                    g1_ref, be1_ref, g2_ref, be2_ref,
+                    z1_ref, z2_ref, h1_ref, stats_ref, dy_ref,
+                    dx_ref, do_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    dg1_ref, dbe1_ref, dg2_ref, dbe2_ref,
+                    *, dropout_p, train):
+    b = pl.program_id(0)
+    first = b == 0
+    cdt = x_ref.dtype
+    drop = train and dropout_p > 0.0
+    seed = scalar_ref[0]
+
+    stats = stats_ref[0]
+    mean1, rstd1 = stats[0:1, :], stats[1:2, :]
+    mean2, rstd2 = stats[2:3, :], stats[3:4, :]
+    z1 = z1_ref[0].astype(jnp.float32)
+    z2 = z2_ref[0].astype(jnp.float32)
+    g1 = g1_ref[:, 0:1].astype(jnp.float32)
+    be1 = be1_ref[:, 0:1].astype(jnp.float32)
+    g2 = g2_ref[:, 0:1].astype(jnp.float32)
+    norm1 = (z1 - mean1) * rstd1
+    norm2 = (z2 - mean2) * rstd2
+    a_f32 = norm1 * g1 + be1
+    a = a_f32.astype(cdt)
+    h1 = h1_ref[0]                                                # [F, T] cdt
+    if drop:
+        keep_h = _dropout_mask(seed, b, _SALT_H, h1.shape, dropout_p)
+        h1_d = _apply_drop(h1.astype(jnp.float32), keep_h,
+                           dropout_p).astype(cdt)
+    else:
+        h1_d = h1
+    dy = dy_ref[0].astype(jnp.float32)                            # [D, T]
+
+    # ---- LN2 backward
+    dz2 = _ln_bwd(dy, norm2, rstd2, g2)
+    dg2 = jnp.sum(dy * norm2, axis=1, keepdims=True)              # [D, 1]
+    dbe2 = jnp.sum(dy, axis=1, keepdims=True)
+
+    # ---- second dense (+ dropout) backward
+    df = dz2
+    if drop:
+        keep_f = _dropout_mask(seed, b, _SALT_F, df.shape, dropout_p)
+        df = _apply_drop(df, keep_f, dropout_p)
+    df_c = df.astype(cdt)
+    db2 = jnp.sum(df, axis=1, keepdims=True)                      # [D, 1]
+    dw2 = jax.lax.dot_general(h1_d, df_c, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [F, D]
+    w2 = w2_ref[...]
+    dh1d = jax.lax.dot_general(w2, df_c, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [F, T]
+
+    # ---- dropout + relu backward
+    dh1 = dh1d
+    if drop:
+        dh1 = _apply_drop(dh1, keep_h, dropout_p)
+    dh1 = jnp.where(h1.astype(jnp.float32) > 0.0, dh1, 0.0)
+    dh1_c = dh1.astype(cdt)
+    db1 = jnp.sum(dh1, axis=1, keepdims=True)                     # [F, 1]
+    dw1 = jax.lax.dot_general(a, dh1_c, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [D, F]
+    w1 = w1_ref[...]
+    da = jax.lax.dot_general(w1, dh1_c, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [D, T]
+    da = da + dz2                                                  # residual
+
+    # ---- LN1 backward
+    dz1 = _ln_bwd(da, norm1, rstd1, g1)
+    dg1 = jnp.sum(da * norm1, axis=1, keepdims=True)
+    dbe1 = jnp.sum(da, axis=1, keepdims=True)
+
+    do = dz1
+    if drop:
+        keep_o = _dropout_mask(seed, b, _SALT_O, do.shape, dropout_p)
+        do = _apply_drop(do, keep_o, dropout_p)
+    dx_ref[0] = dz1.astype(dx_ref.dtype)
+    do_ref[0] = do.astype(do_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        dw1_ref[...] = dw1
+        db1_ref[...] = db1
+        dw2_ref[...] = dw2
+        db2_ref[...] = db2
+        dg1_ref[...] = dg1
+        dbe1_ref[...] = dbe1
+        dg2_ref[...] = dg2
+        dbe2_ref[...] = dbe2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+        dg1_ref[...] += dg1
+        dbe1_ref[...] += dbe1
+        dg2_ref[...] += dg2
+        dbe2_ref[...] += dbe2
+
+
+def _col(v):
+    """[N] param -> [N, 1] kernel operand (feature on sublanes)."""
+    return v.reshape(-1, 1)
+
+
+def _bt(shape):  # per-batch-row [1, rows, T] block
+    return pl.BlockSpec((1,) + shape, lambda b, s: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _res(shape):  # grid-resident whole-array block
+    n = len(shape)
+    return pl.BlockSpec(shape, lambda b, s: (0,) * n,
+                        memory_space=pltpu.VMEM)
+
+
+def _ffn_fwd_call(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
+                  dropout_p, train, save: bool):
+    batch, d, t = x.shape
+    f = w1.shape[1]
+    cdt = x.dtype
+    kernel = functools.partial(_ffn_fwd_kernel, dropout_p=dropout_p,
+                               train=train)
+    out_specs = [_bt((d, t))]
+    out_shape = [jax.ShapeDtypeStruct((batch, d, t), cdt)]       # y
+    if save:  # checkpoints for the backward
+        out_specs += [_bt((d, t)), _bt((d, t)), _bt((f, t)), _bt((4, t))]
+        out_shape += [
+            jax.ShapeDtypeStruct((batch, d, t), cdt),            # z1
+            jax.ShapeDtypeStruct((batch, d, t), cdt),            # z2
+            jax.ShapeDtypeStruct((batch, f, t), cdt),            # h1
+            jax.ShapeDtypeStruct((batch, 4, t), jnp.float32),    # LN stats
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(batch,),
+        in_specs=[_bt((d, t)), _bt((d, t)), _res(w1.shape), _res((f, 1)),
+                  _res(w2.shape), _res((d, 1)), _res((d, 1)), _res((d, 1)),
+                  _res((d, 1)), _res((d, 1))],
+        out_specs=out_specs if save else out_specs[0])
+    scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=out_shape if save else out_shape[0],
+        interpret=_interpret(),
+    )(scalars, x, o, w1, _col(b1), w2, _col(b2), _col(g1), _col(be1),
+      _col(g2), _col(be2))
+    return out if save else (out,)
+
+
+def _ffn_bwd_call(x, o, w1, b1, w2, g1, be1, g2, be2, seed,
+                  z1, z2, h1, stats, dy, dropout_p, train):
+    batch, d, t = x.shape
+    f = w1.shape[1]
+    cdt = x.dtype
+    kernel = functools.partial(_ffn_bwd_kernel, dropout_p=dropout_p,
+                               train=train)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(batch,),
+        in_specs=[_bt((d, t)), _bt((d, t)), _res(w1.shape), _res((f, 1)),
+                  _res(w2.shape), _res((d, 1)), _res((d, 1)), _res((d, 1)),
+                  _res((d, 1)),
+                  _bt((d, t)), _bt((d, t)), _bt((f, t)), _bt((4, t)),
+                  _bt((d, t))],
+        out_specs=[_bt((d, t)), _bt((d, t)),
+                   _res((d, f)), _res((f, 1)), _res((f, d)), _res((d, 1)),
+                   _res((d, 1)), _res((d, 1)), _res((d, 1)), _res((d, 1))])
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, d, t), cdt),          # dx
+        jax.ShapeDtypeStruct((batch, d, t), cdt),          # do
+        jax.ShapeDtypeStruct((d, f), jnp.float32),         # dW1
+        jax.ShapeDtypeStruct((f, 1), jnp.float32),         # db1
+        jax.ShapeDtypeStruct((f, d), jnp.float32),         # dW2
+        jax.ShapeDtypeStruct((d, 1), jnp.float32),         # db2
+        jax.ShapeDtypeStruct((d, 1), jnp.float32),         # dg1
+        jax.ShapeDtypeStruct((d, 1), jnp.float32),         # dbe1
+        jax.ShapeDtypeStruct((d, 1), jnp.float32),         # dg2
+        jax.ShapeDtypeStruct((d, 1), jnp.float32),         # dbe2
+    ]
+    scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_interpret(),
+    )(scalars, x, o, w1, _col(b1), w2, _col(g1), _col(be1), _col(g2),
+      _col(be2), z1, z2, h1, stats, dy)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def ffn_block(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, dropout_p, train):
+    """Fused post-attention block.  x, o: [B, D, T] (layer input and o_net
+    output, pre-dropout); w1 [D, F], b1 [F], w2 [F, D], b2 [D]; g/be [D]
+    LayerNorm scale/bias pairs (post-attention LN and post-FFN LN); seed:
+    int32 dropout seed (ignored unless train and dropout_p > 0).
+    Returns y [B, D, T]."""
+    (y,) = _ffn_fwd_call(x, o, w1, b1, w2, b2, g1, be1, g2, be2,
+                         seed, dropout_p, train, save=False)
+    return y
+
+
+def _ffn_block_fwd(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
+                   dropout_p, train):
+    y, z1, z2, h1, stats = _ffn_fwd_call(
+        x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, dropout_p, train,
+        save=True)
+    return y, (x, o, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats)
+
+
+def _ffn_block_bwd(dropout_p, train, residuals, dy):
+    (x, o, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats) = residuals
+    (dx, do, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = _ffn_bwd_call(
+        x, o, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats, dy,
+        dropout_p, train)
+    return (dx, do, dw1.astype(w1.dtype), db1[:, 0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[:, 0].astype(b1.dtype),
+            dg1[:, 0].astype(g1.dtype), dbe1[:, 0].astype(be1.dtype),
+            dg2[:, 0].astype(g2.dtype), dbe2[:, 0].astype(be2.dtype), None)
+
+
+ffn_block.defvjp(_ffn_block_fwd, _ffn_block_bwd)
