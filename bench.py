@@ -48,7 +48,8 @@ def main():
         transposed=transposed)
     memory = init_train_memory(
         cfg.model.num_layers, batch, tcfg.mem_length, cfg.model.units,
-        physical, dtype=jnp.bfloat16, transposed=transposed)
+        physical, dtype=jnp.bfloat16, transposed=transposed,
+        block_len=tgt)
 
     rng = np.random.RandomState(0)
     def make_batch():

@@ -52,29 +52,44 @@ class Memory:
     stream (index 0), in a fixed-capacity buffer.
 
     Two physical layouts share this container:
-    - XLA attention path: right-aligned shift buffer, ``head`` stays 0
-      (every update rewrites the whole buffer);
-    - Pallas path: RING buffer — updates write T new rows at ``head`` via one
-      dynamic_update_slice (12.5% of the buffer at the training shape instead
-      of a full rewrite) and the kernel rotates its relative-position term to
-      match.  ``logical_memory_view`` converts to the right-aligned layout
-      for comparisons.
+    - XLA attention path: right-aligned shift buffer [L+1, B, M, D], ``head``
+      stays 0 (every update rewrites the whole buffer);
+    - Pallas path (``transposed``): BLOCKED D-major RING buffer
+      [L+1, R, B, D, T] — R slabs of T token slots each (slot j lives at
+      block j // T, lane j % T; M = R*T).  D on sublanes feeds the
+      fused-attention kv projection without a relayout; the RING dimension
+      ahead of [B, D, T] makes the per-step update a contiguous slab write
+      through an aliased Pallas kernel (``commu_tpu.ops.layout.ring_write``)
+      — with the ring minor ([.., D, M] + lane offset) the same update
+      decomposes into 256-byte strided writes that XLA can only lower as a
+      full-buffer rewrite (~3 ms/step at the training shape).  The layer dim
+      stays LEADING so the per-layer slice the kv projections consume
+      remains a free contiguous view (ring-leading costs a ~4.7 ms
+      materialized slice per step).  The kernel rotates its
+      relative-position term to the ring order; ``logical_memory_view``
+      converts to the right-aligned layout for comparisons.
     """
 
-    hidden: jnp.ndarray  # [L+1, B, M, D], or [L+1, B, D, M] when transposed
+    hidden: jnp.ndarray  # [L+1, B, M, D], or [L+1, R, B, D, T] when transposed
     count: jnp.ndarray   # int32 scalar: number of valid slots (clamped at M)
     head: jnp.ndarray    # int32 scalar: next ring write position (0 for XLA)
-    # D-major storage ([L+1, B, D, M]): the layout the fused-attention kv
-    # projection reads natively (contraction dim on sublanes, memory slots on
-    # lanes) — token-major memory costs a full-buffer relayout copy per layer
-    # and micro-batch on TPU.  Static pytree metadata, not traced.
+    # Static pytree metadata, not traced.
     transposed: bool = struct.field(pytree_node=False, default=False)
 
 
 def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
-                dtype=jnp.float32, transposed: bool = False) -> Memory:
-    shape = (num_layers + 1, batch) + (
-        (d_model, capacity) if transposed else (capacity, d_model))
+                dtype=jnp.float32, transposed: bool = False,
+                block_len: Optional[int] = None) -> Memory:
+    """``block_len`` (transposed only): ring slab size in tokens — must equal
+    the segment length the memory will be updated with (training/eval
+    ``tgt_length``); defaults to ``capacity`` (one slab)."""
+    if transposed:
+        t = block_len or capacity
+        r = capacity // t if t else 0
+        assert r * (t or 0) == capacity, (capacity, t)
+        shape = (num_layers + 1, r, batch, d_model, t)
+    else:
+        shape = (num_layers + 1, batch, capacity, d_model)
     return Memory(
         hidden=jnp.zeros(shape, dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
@@ -84,7 +99,9 @@ def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
 
 
 def memory_capacity(memory: Memory) -> int:
-    return memory.hidden.shape[3 if memory.transposed else 2]
+    if memory.transposed:
+        return memory.hidden.shape[1] * memory.hidden.shape[4]
+    return memory.hidden.shape[2]
 
 
 def logical_memory_view(memory: Memory) -> jnp.ndarray:
@@ -94,6 +111,8 @@ def logical_memory_view(memory: Memory) -> jnp.ndarray:
     right edge)."""
     hidden = memory.hidden
     if memory.transposed:
+        l1, r, b, d, t = hidden.shape
+        hidden = jnp.transpose(hidden, (0, 2, 3, 1, 4)).reshape(l1, b, d, r * t)
         hidden = jnp.swapaxes(hidden, 2, 3)
     m_cap = hidden.shape[2]
     start = jnp.mod(memory.head - memory.count, m_cap) if m_cap else 0
@@ -202,9 +221,10 @@ class RelMultiHeadAttention(nn.Module):
         d_head = d_model // n_head
         batch, tgt_len, _ = x.shape
         impl = resolve_attn_impl(cfg)
-        # the pallas path receives the FULL D-major ring buffer
-        # [L+1, B, D, M] plus this layer's index (see forward)
-        mem_capacity = mem.shape[3] if impl == "pallas" else mem.shape[1]
+        # the pallas path receives the FULL blocked D-major ring buffer
+        # [L+1, R, B, D, T] plus this layer's index (see forward)
+        mem_capacity = (mem.shape[1] * mem.shape[4] if impl == "pallas"
+                        else mem.shape[1])
         klen = mem_capacity + tgt_len
         hd = n_head * d_head
 
@@ -415,9 +435,11 @@ class TransformerXL(nn.Module):
         if resolve_attn_impl(cfg) == "pallas":
             from ..ops import fused_attention as fa
             if not memory.transposed:
-                # tests/back-compat: the kernel's kv projection wants D-major
-                # memory; production memories are created transposed
-                mem_hidden = jnp.swapaxes(mem_hidden, 2, 3)
+                # tests/back-compat: the kernel's kv projection wants the
+                # blocked D-major ring layout; a dense right-aligned buffer
+                # is a one-slab ring ([L+1, 1, B, D, M]).  Production
+                # memories are created blocked.
+                mem_hidden = jnp.swapaxes(mem_hidden, 2, 3)[:, None]
             mask = None
             pos_emb = None
             reset_rows = reset if reset is not None else \
@@ -471,16 +493,16 @@ class TransformerXL(nn.Module):
                 and mem_capacity % tgt_len == 0)
         if ring:
             if memory.transposed:
-                # the new rows are tiny compared to the buffer: transposing
-                # them here (through the layout-anchoring pallas copy) is
-                # what keeps the buffer itself relayout-free
-                from ..ops.layout import transpose_last2
-                stacked = transpose_last2(stacked)          # [L+1, B, D, T]
-                offset = (0, 0, 0, memory.head)
+                # ONE contiguous slab write into the aliased ring buffer,
+                # transpose fused (see commu_tpu.ops.layout.ring_write)
+                from ..ops.layout import ring_write
+                assert memory.hidden.shape[4] == tgt_len, \
+                    (memory.hidden.shape, tgt_len)
+                new_hidden = ring_write(memory.hidden, stacked,
+                                        memory.head // tgt_len, axis=1)
             else:
-                offset = (0, 0, memory.head, 0)
-            new_hidden = jax.lax.dynamic_update_slice(
-                memory.hidden, stacked, offset)
+                new_hidden = jax.lax.dynamic_update_slice(
+                    memory.hidden, stacked, (0, 0, memory.head, 0))
             new_head = jnp.mod(memory.head + tgt_len, mem_capacity)
             return Memory(hidden=new_hidden, count=new_count, head=new_head,
                           transposed=memory.transposed)

@@ -88,6 +88,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# The default Mosaic scoped-vmem limit is 16 MB; the memory-fused backward
+# sits right at it (16.17 MB with the blocked kv operands).  v5e cores have
+# far more physical VMEM — raise the cap for the attention kernels.
+_VMEM_LIMIT = 40 * 1024 * 1024
+
 def _fpad(d_model: int) -> int:
     """Frequency-lane padding: the d_model/2 frequencies are padded to a
     multiple of 128 lanes so the sin/cos halves of u / phi / trigA / psi
@@ -234,8 +239,15 @@ def _attn_core(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     qw = qw_ref[0, hh, :, :]                         # [dh, T]
     qr = qr_ref[0, hh, :, :]                         # [dh, T]
     if km_ref is not None:
-        k = jnp.concatenate([km_ref[0, hh], kw_ref[0, hh]], axis=1)  # [dh,K]
-        v = jnp.concatenate([vm_ref[0, hh], vw_ref[0, hh]], axis=1)
+        # memory halves arrive BLOCKED [1, R, hp, dh, Tb] (the ring-slab
+        # layout); the slabs join the window half lane-wise in VMEM
+        r_blocks = km_ref.shape[1]
+        k = jnp.concatenate(
+            [km_ref[0, r, hh] for r in range(r_blocks)] + [kw_ref[0, hh]],
+            axis=1)                                  # [dh, K]
+        v = jnp.concatenate(
+            [vm_ref[0, r, hh] for r in range(r_blocks)] + [vw_ref[0, hh]],
+            axis=1)
     else:
         k = kw_ref[0, hh]
         v = vw_ref[0, hh]
@@ -318,8 +330,13 @@ def _bwd_head_math(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     qw = qw_ref[0, hh, :, :]
     qr = qr_ref[0, hh, :, :]
     if km_ref is not None:
-        k = jnp.concatenate([km_ref[0, hh], kw_ref[0, hh]], axis=1)
-        v = jnp.concatenate([vm_ref[0, hh], vw_ref[0, hh]], axis=1)
+        r_blocks = km_ref.shape[1]
+        k = jnp.concatenate(
+            [km_ref[0, r, hh] for r in range(r_blocks)] + [kw_ref[0, hh]],
+            axis=1)
+        v = jnp.concatenate(
+            [vm_ref[0, r, hh] for r in range(r_blocks)] + [vw_ref[0, hh]],
+            axis=1)
     else:
         k = kw_ref[0, hh]
         v = vw_ref[0, hh]
@@ -453,12 +470,18 @@ def _bwd_mem_kernel(kernel_fn, has_mem):
     return wrapped
 
 
-def heads_per_program(heads: int) -> int:
+def heads_per_program(heads: int, role: str = "fwd") -> int:
     """Largest of {5, 2} dividing the head count: grouping heads in one
     program lets the scheduler overlap head A's softmax (VPU) with head B's
     score matmuls (MXU); a single head is a strict MXU->VPU->MXU dependency
     chain.  10 heads/program blows the 16 MB VMEM budget in the backward
-    (measured: hp=2 +2%, hp=5 +4.5% step throughput over hp=1)."""
+    (measured: hp=2 +2%, hp=5 +4.5% step throughput over hp=1).
+    ``COMMU_FWD_HP`` / ``COMMU_BWD_HP`` override per direction (perf
+    experiments)."""
+    import os
+    env = os.environ.get(f"COMMU_{role.upper()}_HP")
+    if env:
+        return int(env)
     for hp in (5, 2):
         if heads % hp == 0:
             return hp
@@ -466,14 +489,21 @@ def heads_per_program(heads: int) -> int:
 
 
 def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
-                trig_a, psi, mask, scalars, extra=()):
+                trig_a, psi, mask, scalars, extra=(), hp=None):
     batch, heads, dh, t = qw.shape
-    m_cap = 0 if k_mem is None else k_mem.shape[3]
-    hp = heads_per_program(heads)
+    # k_mem/v_mem are BLOCKED [B, R, H, dh, Tb] (ring slabs; M = R*Tb)
+    m_cap = 0 if k_mem is None else k_mem.shape[1] * k_mem.shape[4]
+    if hp is None:
+        hp = heads_per_program(heads)
     bh_t = pl.BlockSpec((1, hp, dh, t), lambda b, h, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    bh_m = pl.BlockSpec((1, hp, dh, m_cap), lambda b, h, s: (b, h, 0, 0),
-                        memory_space=pltpu.VMEM)
+    if k_mem is not None:
+        r_blocks, t_blk = k_mem.shape[1], k_mem.shape[4]
+        bh_m = pl.BlockSpec((1, r_blocks, hp, dh, t_blk),
+                            lambda b, h, s: (b, 0, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        bh_m = None
     fdim = w_r.shape[2]
     bh_f = pl.BlockSpec((1, hp, dh, fdim), lambda b, h, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -486,6 +516,8 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
                             memory_space=pltpu.VMEM)
 
     has_mem = k_mem is not None
+    assert not any(kind == "m" for kind, _ in outs) or not has_mem, \
+        "memory-half cotangent outputs are only produced by fused_core_mem"
     kv_specs = [bh_m, bh_t, bh_m, bh_t] if has_mem else [bh_t, bh_t]
     # "e" blocks are [T, K] score-shaped (the checkpointed exp scores)
     e_blk = pl.BlockSpec((1, hp, t, m_cap + t), lambda b, h, s: (b, h, 0, 0),
@@ -520,14 +552,20 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
     return pl.pallas_call(
         kernel_fn, grid_spec=grid_spec,
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(scalars, *operands, *[arr for _, arr in extra])
+
+
+def _mem_cap(k_mem) -> int:
+    """Memory capacity M = R*Tb of a blocked [B, R, H, dh, Tb] operand."""
+    return 0 if k_mem is None else k_mem.shape[1] * k_mem.shape[4]
 
 
 def _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
                scalars, dropout_p, train, save_e=False):
     t = qw.shape[3]
-    m_cap = 0 if k_mem is None else k_mem.shape[3]
+    m_cap = _mem_cap(k_mem)
     kernel = _mem_kernel(functools.partial(
         _fwd_kernel, t=t, k_len=m_cap + t, dropout_p=dropout_p, train=train,
         hp=heads_per_program(qw.shape[1])), k_mem is not None)
@@ -545,18 +583,19 @@ def _fused_bwd(dropout_p, train, residuals, g):
     (qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
      scalars, e) = residuals
     t = qw.shape[3]
-    m_cap = 0 if k_mem is None else k_mem.shape[3]
+    m_cap = _mem_cap(k_mem)
     has_mem = k_mem is not None
     dtype = qw.dtype
+    bwd_hp = heads_per_program(qw.shape[1], "bwd")
     kernel = _bwd_mem_kernel(functools.partial(
         _bwd_kernel, t=t, k_len=m_cap + t, dropout_p=dropout_p, train=train,
-        hp=heads_per_program(qw.shape[1])), has_mem)
+        hp=bwd_hp), has_mem)
     outs = _fused_call(
         kernel,
         [("t", dtype), ("t", dtype), ("m", dtype), ("t", dtype),
          ("m", dtype), ("t", dtype), ("f", dtype)],
         qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask, scalars,
-        extra=(("t", g.astype(dtype)), ("e", e)))
+        extra=(("t", g.astype(dtype)), ("e", e)), hp=bwd_hp)
     if has_mem:
         dqw, dqr, dkm, dkw, dvm, dvw, dwr_bh = outs
     else:
@@ -591,14 +630,15 @@ def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
     blocks (indexed by the head group alone) stay VMEM-resident across all
     batch steps and are flushed once per head group.  The [B, H, dh, M]
     memory-half cotangents dkm/dvm are consumed on the spot by one dW matmul
-    per head GROUP against the raw memory block (heads batched so the MXU
-    row dim is hp*dh=250, not 50) — they never exist in HBM (at the training
-    shape that removes ~3.1 GB of kernel writes plus the relayout copies and
-    separate dW contractions XLA needed)."""
+    per head GROUP and ring slab against the raw memory block (heads batched
+    so the MXU row dim is hp*dh=250, not 50) — they never exist in HBM (at
+    the training shape that removes ~3.1 GB of kernel writes plus the
+    relayout copies and separate dW contractions XLA needed)."""
     hg, b = pl.program_id(0), pl.program_id(1)
     m_cap = k_len - t
     first = b == 0
-    mem_b = mem_ref[0, 0]                                        # [D, M]
+    r_blocks = mem_ref.shape[1]                  # mem_ref [1, R, 1, D, Tb]
+    t_blk = mem_ref.shape[4]
     dk_ms, dv_ms, dwrs = [], [], []
     for hh in range(hp):
         h = hg * hp + hh
@@ -610,19 +650,28 @@ def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
         dqr_ref[0, hh, :, :] = dqr.astype(dqr_ref.dtype)
         dkw_ref[0, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
         dvw_ref[0, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
-        dk_ms.append(dk[:, :m_cap].astype(mem_b.dtype))          # [dh, M]
-        dv_ms.append(dv[:, :m_cap].astype(mem_b.dtype))
+        dk_ms.append(dk[:, :m_cap].astype(mem_ref.dtype))        # [dh, M]
+        dv_ms.append(dv[:, :m_cap].astype(mem_ref.dtype))
         dwrs.append(dwr)
-    # dW_k[group] += dk_mem @ mem^T over all hp heads at once, accumulated
+    # dW_k[group] += dk_mem @ mem^T over all hp heads at once, one matmul
+    # per ring slab (no [D, M] concat of the memory in VMEM), accumulated
     # f32 across the batch grid (the standalone XLA contraction rounds dkm
     # to bf16 first; here the per-batch-row dW partial accumulates in f32)
     dk_g = jnp.concatenate(dk_ms, axis=0)                        # [hp*dh, M]
     dv_g = jnp.concatenate(dv_ms, axis=0)
-    dwk = jax.lax.dot_general(dk_g, mem_b, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dwv = jax.lax.dot_general(dv_g, mem_b, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dh, d_model = dk_ms[0].shape[0], mem_b.shape[0]
+    dwk = dwv = None
+    for r in range(r_blocks):
+        mem_r = mem_ref[0, r, 0]                                 # [D, Tb]
+        sl = slice(r * t_blk, (r + 1) * t_blk)
+        dwk_r = jax.lax.dot_general(dk_g[:, sl], mem_r,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dwv_r = jax.lax.dot_general(dv_g[:, sl], mem_r,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dwk = dwk_r if dwk is None else dwk + dwk_r
+        dwv = dwv_r if dwv is None else dwv + dwv_r
+    dh, d_model = dk_ms[0].shape[0], mem_ref.shape[3]
     dwk = dwk.reshape(hp, dh, d_model)
     dwv = dwv.reshape(hp, dh, d_model)
     dwr_g = jnp.stack(dwrs, axis=0)                              # [hp,dh,512]
@@ -644,23 +693,26 @@ def _bwd_call_mem(kernel_fn, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r,
                   trig_a, psi, mask, scalars, do, e, layer_idx):
     """pallas_call for the memory-fused backward: grid (H/hp, B).
 
-    ``mem`` is the FULL ring buffer [L+1, B, D, M]; the BlockSpec indexes
-    layer ``layer_idx`` directly so no per-layer slice is ever materialized
-    in HBM (a pallas operand cannot fuse a slice; the block DMA can)."""
+    ``mem`` is the FULL blocked ring buffer [L+1, R, B, D, Tb]; the
+    BlockSpec indexes layer ``layer_idx`` directly so no per-layer slice is
+    ever materialized in HBM (a pallas operand cannot fuse a slice; the
+    block DMA can)."""
     batch, heads, dh, t = qw.shape
-    m_cap = k_mem.shape[3]
-    d_model = mem.shape[2]
-    hp = heads_per_program(heads)
+    r_blocks, t_blk = k_mem.shape[1], k_mem.shape[4]
+    m_cap = r_blocks * t_blk
+    d_model = mem.shape[3]
+    hp = heads_per_program(heads, "bwd")
     fdim = w_r.shape[2]
     dtype = qw.dtype
 
     bh_t = pl.BlockSpec((1, hp, dh, t), lambda h, b, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    bh_m = pl.BlockSpec((1, hp, dh, m_cap), lambda h, b, s: (b, h, 0, 0),
+    bh_m = pl.BlockSpec((1, r_blocks, hp, dh, t_blk),
+                        lambda h, b, s: (b, 0, h, 0, 0),
                         memory_space=pltpu.VMEM)
     mem_spec = pl.BlockSpec(
-        (1, 1, d_model, m_cap),
-        lambda h, b, s: (layer_idx, b, 0, 0), memory_space=pltpu.VMEM)
+        (1, r_blocks, 1, d_model, t_blk),
+        lambda h, b, s: (layer_idx, 0, b, 0, 0), memory_space=pltpu.VMEM)
     e_blk = pl.BlockSpec((1, hp, t, m_cap + t), lambda h, b, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
 
@@ -692,23 +744,68 @@ def _bwd_call_mem(kernel_fn, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r,
         in_specs=in_specs, out_specs=out_specs)
     return pl.pallas_call(
         kernel_fn, grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(scalars, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a, psi,
       mask, do, e)
 
 
-def _project_mem(mem, layer_idx, w3):
-    """mem[l] [B, D, M] x [D, H, dh] -> [B, H, dh, M] straight from the MXU
-    (the kernel operand layout; XLA fuses the layer slice into the matmul)."""
-    return jnp.einsum("bdm,dhc->bhcm", mem[layer_idx], w3.astype(mem.dtype))
+def _proj_mem_kernel(mem_ref, wk_ref, wv_ref, k_ref, v_ref, *, heads):
+    """Per batch row: project all R ring slabs of one layer through the k
+    and v weights — ONE read of the memory serves both projections."""
+    r_blocks = mem_ref.shape[1]
+    for r in range(r_blocks):
+        m = mem_ref[0, r, 0]                                     # [D, Tb]
+        k = jax.lax.dot_general(wk_ref[...], m, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        v = jax.lax.dot_general(wv_ref[...], m, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        hdh, t_blk = k.shape
+        k_ref[0, r] = k.reshape(heads, hdh // heads, t_blk).astype(k_ref.dtype)
+        v_ref[0, r] = v.reshape(heads, hdh // heads, t_blk).astype(v_ref.dtype)
+
+
+def project_mem_kv(mem, layer_idx, wk3, wv3):
+    """Blocked memory k/v projection: mem [L+1, R, B, D, Tb] x wk3/wv3
+    [D, H, dh] -> (k, v) [B, R, H, dh, Tb].
+
+    A Pallas kernel that block-indexes ``layer_idx`` directly — the XLA
+    einsum route materializes every interior layer slice (~4 ms/step of pure
+    copies at the training shape) and runs the projection convolutions well
+    off peak; here the layer slice is a block DMA, the memory is read ONCE
+    for both k and v, and the matmuls run at native MXU shape."""
+    l1, r_blocks, batch, d_model, t_blk = mem.shape
+    heads, dh = wk3.shape[1], wk3.shape[2]
+    wk = wk3.reshape(d_model, heads * dh).astype(mem.dtype)
+    wv = wv3.reshape(d_model, heads * dh).astype(mem.dtype)
+
+    mem_spec = pl.BlockSpec((1, r_blocks, 1, d_model, t_blk),
+                            lambda b: (layer_idx, 0, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((d_model, heads * dh), lambda b: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, r_blocks, heads, dh, t_blk),
+                            lambda b: (b, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((batch, r_blocks, heads, dh, t_blk),
+                                     mem.dtype)
+    return pl.pallas_call(
+        functools.partial(_proj_mem_kernel, heads=heads),
+        grid=(batch,),
+        in_specs=[mem_spec, w_spec, w_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_shape, out_shape],
+        interpret=_interpret(),
+    )(mem, wk, wv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
 def fused_core_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
                    mask, scalars, dropout_p, train, layer_idx):
     """fused_core with the memory-half k/v projections INSIDE the VJP
-    boundary: mem is the FULL D-major ring buffer [L+1, B, D, M] (the kernel
-    block-indexes layer ``layer_idx`` so no per-layer slice materializes),
+    boundary: mem is the FULL blocked D-major ring buffer [L+1, R, B, D, Tb]
+    (the kernel block-indexes layer ``layer_idx`` so no per-layer slice
+    materializes),
     wk3/wv3 [D, H, dh] slices of the kv projection.
 
     The XL memory is stop-gradient by construction (the reference detaches
@@ -718,8 +815,7 @@ def fused_core_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
     kernel accumulates in-kernel (``_bwd_kernel_mem``).  The returned mem
     cotangent is symbolic-zero (DCE'd: nothing differentiates w.r.t. the
     carried memory buffer)."""
-    k_mem = _project_mem(mem, layer_idx, wk3)
-    v_mem = _project_mem(mem, layer_idx, wv3)
+    k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
     out, _ = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
                         mask, scalars, dropout_p, train, save_e=False)
     return out
@@ -727,8 +823,7 @@ def fused_core_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
 
 def _fused_fwd_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
                    mask, scalars, dropout_p, train, layer_idx):
-    k_mem = _project_mem(mem, layer_idx, wk3)
-    v_mem = _project_mem(mem, layer_idx, wv3)
+    k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
     out, res = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a,
                           psi, mask, scalars, dropout_p, train, save_e=True)
     e = res[-1]
@@ -740,11 +835,11 @@ def _fused_bwd_mem(dropout_p, train, layer_idx, residuals, g):
     (qw, qr, mem, wk3, wv3, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
      mask, scalars, e) = residuals
     t = qw.shape[3]
-    m_cap = k_mem.shape[3]
+    m_cap = _mem_cap(k_mem)
     dtype = qw.dtype
     kernel = functools.partial(
         _bwd_kernel_mem, t=t, k_len=m_cap + t, dropout_p=dropout_p,
-        train=train, hp=heads_per_program(qw.shape[1]))
+        train=train, hp=heads_per_program(qw.shape[1], "bwd"))
     dqw, dqr, dkw, dvw, dwk, dwv, dwr = _bwd_call_mem(
         kernel, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a, psi,
         mask, scalars, g.astype(dtype), e, layer_idx)
@@ -764,15 +859,16 @@ def attention(q, k_mem, k_win, v_mem, v_win, w_r, psi, r_w_bias, r_r_bias,
               scale, same_length, dropout_p=0.0, dropout_seed=0, train=False):
     """Kernel-layout entry point.
 
-    q: [B, H, dh, T]; k_mem, v_mem: [B, H, dh, M] (may be None) where the
-    memory keys live in a RING whose next write position is ``mem_head``;
+    q: [B, H, dh, T]; k_mem, v_mem: [B, R, H, dh, Tb] ring-slab blocks (may
+    be None) where the memory keys live in a RING (M = R*Tb slots) whose
+    next write position is ``mem_head``;
     k_win, v_win: [B, H, dh, T]; w_r: [H, dh, 512] (``pack_r_kernel`` of the
     position projection); psi: [512, M+T] key trig basis ALREADY in ring
     order (``ring_psi``), possibly with positional dropout applied.
     Returns [B, H, dh, T].
     """
     t = q.shape[3]
-    m_cap = 0 if k_mem is None else k_mem.shape[3]
+    m_cap = _mem_cap(k_mem)
     qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
     qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
     trig_a = query_trig_table(t, m_cap, d_model, dtype=q.dtype)
@@ -788,14 +884,14 @@ def attention_mem(q, mem, layer_idx, wk3, wv3, k_win, v_win, w_r, psi,
                   reset: Optional[jnp.ndarray],
                   *, d_model, scale, same_length, dropout_p=0.0,
                   dropout_seed=0, train=False):
-    """Like ``attention`` but takes the RAW D-major ring buffer
-    [L+1, B, D, M] plus the layer index and the k/v projection slices
+    """Like ``attention`` but takes the RAW blocked D-major ring buffer
+    [L+1, R, B, D, Tb] plus the layer index and the k/v projection slices
     wk3/wv3 [D, H, dh], and projects the memory half inside the custom-VJP
     boundary (``fused_core_mem``) — the backward then accumulates
     dWk/dWv/dWr in-kernel and never materializes the [B,H,dh,M] memory-half
     cotangents.  Requires a nonempty memory."""
     t = q.shape[3]
-    m_cap = mem.shape[3]
+    m_cap = mem.shape[1] * mem.shape[4]
     qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
     qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
     trig_a = query_trig_table(t, m_cap, d_model, dtype=q.dtype)

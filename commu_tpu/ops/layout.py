@@ -26,6 +26,71 @@ def _transpose_kernel(x_ref, o_ref):
     o_ref[...] = jnp.swapaxes(x_ref[...], -1, -2)
 
 
+def _ring_write_kernel(s_ref, buf_ref, rows_ref, out_ref):
+    del s_ref, buf_ref  # aliased buffer: untouched blocks keep their contents
+    out_ref[(0,) * (out_ref.ndim - 2)] = jnp.swapaxes(
+        rows_ref[(0,) * (rows_ref.ndim - 2)], 0, 1)
+
+
+def ring_write(buf: jnp.ndarray, rows: jnp.ndarray, block_index,
+               axis: int) -> jnp.ndarray:
+    """In-place blocked ring write with fused transpose.
+
+    ``buf`` carries a ring dimension of R slabs at position ``axis``
+    (e.g. [L+1, R, B, D, T] with axis=1): slot j of the logical
+    [..., D, R*T] memory lives at slab j // T, lane j % T.  ``rows``
+    (= ``buf`` with the slab dim removed and the last two dims swapped,
+    e.g. [L+1, B, T, D]) are the new rows in the token-major orientation
+    the layer stack produces; ``block_index`` (int32 scalar) is the ring
+    head in BLOCKS (head // T).  Returns ``buf`` with slab ``block_index``
+    replaced by ``rows`` transposed to [..., D, T].
+
+    Why this exists: with the ring dimension minor ([..., D, M] and a lane
+    offset), a dynamic-offset update decomposes into 256-byte strided writes
+    — XLA lowers it as a full-buffer predicated rewrite (~3.9 ms measured at
+    the training shape) and a Pallas column write is no better (~13 ms of
+    descriptor overhead).  With the ring dimension ahead of [D, T] the write
+    is a set of contiguous slab regions; the buffer is aliased through the
+    kernel (``input_output_aliases``) so the other R-1 slabs are never
+    touched.  The slab dim must sit AFTER any layer/chunk dims that are
+    sliced elsewhere (a leading-dim layer slice stays a free contiguous
+    view; see commu_tpu.models.transformer_xl.Memory).
+    """
+    *lead, t, d = rows.shape
+    n = len(lead)
+    expect = tuple(lead[:axis]) + (buf.shape[axis],) + tuple(lead[axis:]) + \
+        (d, t)
+    assert buf.shape == expect, (buf.shape, rows.shape, axis)
+    if _interpret():
+        # CPU/tests: a slab-dim dynamic_update_slice is contiguous and
+        # cheap everywhere; interpret-mode aliasing of partially-written
+        # outputs is not guaranteed
+        new = jnp.expand_dims(jnp.swapaxes(rows, -1, -2), axis)
+        zero = jnp.zeros((), jnp.int32)
+        idx = (zero,) * axis + (jnp.asarray(block_index, jnp.int32),) + \
+            (zero,) * (n - axis + 2)
+        return jax.lax.dynamic_update_slice(buf, new, idx)
+
+    def buf_idx(*a):
+        g, s = a[:-1], a[-1]
+        return g[:axis] + (s[0],) + g[axis:] + (0, 0)
+
+    buf_spec = pl.BlockSpec((1,) * (n + 1) + (d, t), buf_idx,
+                            memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec(
+        (1,) * n + (t, d), lambda *a: a[:-1] + (0, 0),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=tuple(lead),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), rows_spec],
+        out_specs=buf_spec)
+    return pl.pallas_call(
+        _ring_write_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+        input_output_aliases={1: 0},
+    )(jnp.asarray(block_index, jnp.int32).reshape(1), buf, rows)
+
+
 def transpose_last2(x: jnp.ndarray) -> jnp.ndarray:
     """[..., T, D] -> [..., D, T] as a standard-layout Pallas copy."""
     *lead, t, d = x.shape

@@ -46,8 +46,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def memory_sharding(mesh: Mesh) -> NamedSharding:
-    """XL memory hidden [L+1, B, M, D]: shard the batch axis (index 1)."""
+def memory_sharding(mesh: Mesh, transposed: bool = False) -> NamedSharding:
+    """XL memory hidden: shard the batch axis — index 1 of the dense
+    [L+1, B, M, D] layout, index 2 of the blocked ring [L+1, R, B, D, T]."""
+    if transposed:
+        return NamedSharding(mesh, P(None, None, DATA_AXIS))
     return NamedSharding(mesh, P(None, DATA_AXIS))
 
 
@@ -69,18 +72,26 @@ def _pin_rowmajor(sharding: NamedSharding, ndim: int):
 
 def _memory_shardings(mesh: Mesh, transposed: bool = False):
     from ..models.transformer_xl import Memory
-    # hidden [L+1, B, M, D] (or [L+1, B, D, M] transposed): 4-d either way
+    # hidden [L+1, B, M, D] dense, [L+1, R, B, D, T] blocked ring
     # (``transposed`` is static pytree metadata and must match the arrays')
-    return Memory(hidden=_pin_rowmajor(memory_sharding(mesh), 4),
+    ndim = 5 if transposed else 4
+    return Memory(hidden=_pin_rowmajor(memory_sharding(mesh, transposed), ndim),
                   count=replicated(mesh), head=replicated(mesh),
                   transposed=transposed)
 
 
 def _train_memory_shardings(mesh: Mesh, transposed: bool = False):
     from ..training.step import TrainMemory
-    # hidden [C, L+1, B/C, M, D]: shard the per-chunk batch axis (index 2)
+    # hidden [C, L+1, B/C, M, D] dense (per-chunk batch at index 2),
+    # [C, L+1, R, B/C, D, T] blocked ring (per-chunk batch at index 3)
+    if transposed:
+        sharding = NamedSharding(mesh, P(None, None, None, DATA_AXIS))
+        ndim = 6
+    else:
+        sharding = NamedSharding(mesh, P(None, None, DATA_AXIS))
+        ndim = 5
     return TrainMemory(
-        hidden=_pin_rowmajor(NamedSharding(mesh, P(None, None, DATA_AXIS)), 5),
+        hidden=_pin_rowmajor(sharding, ndim),
         count=replicated(mesh), head=replicated(mesh), transposed=transposed)
 
 

@@ -112,7 +112,8 @@ class Trainer:
                 memory = init_memory(
                     self.cfg.model.num_layers, self.eval_batch,
                     ecfg.mem_length, self.cfg.model.units,
-                    dtype=self.model_dtype, transposed=self._transposed_mem())
+                    dtype=self.model_dtype, transposed=self._transposed_mem(),
+                    block_len=ecfg.tgt_length)
             reset = np.zeros(self.eval_batch, dtype=bool)
             nll_sum, tok, memory = self.eval_step(
                 self.state.params, memory, batch.inputs, batch.targets, reset)
@@ -137,7 +138,8 @@ class Trainer:
                                    tcfg.mem_length, self.cfg.model.units,
                                    resolve_physical_chunks(self.cfg),
                                    dtype=self.model_dtype,
-                                   transposed=self._transposed_mem())
+                                   transposed=self._transposed_mem(),
+                                   block_len=tcfg.tgt_length)
 
         it = self.dataset.train_iterator(
             tcfg.batch_size, tcfg.tgt_length, shuffle=True, seed=tcfg.seed)

@@ -47,11 +47,15 @@ class TrainState:
 @struct.dataclass
 class TrainMemory:
     """XL memory pre-laid-out for the micro-batch scan: [C, L+1, B/C, M, D]
-    (or [C, L+1, B/C, D, M] when transposed — the layout the fused-attention
-    kv projection reads without a relayout copy).
+    (or the blocked ring [C, L+1, R, B/C, D, T] when transposed — D on
+    sublanes feeds the fused-attention kv projection without a relayout, the
+    ring dim ahead of [B, D, T] makes the per-step update a contiguous slab
+    write, and the chunk/layer dims stay leading so their slices remain free
+    contiguous views; see commu_tpu.models.transformer_xl.Memory).
 
-    Keeping the chunk axis leading means the scan consumes it directly —
-    reshaping a ~2 GB buffer twice per step costs ~19 ms on a v5e chip."""
+    Keeping the chunk axis ahead of the batch means the scan consumes it
+    directly — reshaping a ~2 GB buffer twice per step costs ~19 ms on a
+    v5e chip."""
 
     hidden: jnp.ndarray
     count: jnp.ndarray
@@ -59,29 +63,22 @@ class TrainMemory:
     transposed: bool = struct.field(pytree_node=False, default=False)
 
 
-def chunk_memory(memory: Memory, n_chunks: int) -> TrainMemory:
-    l1, batch = memory.hidden.shape[:2]
-    hidden = memory.hidden.reshape(
-        (l1, n_chunks, batch // n_chunks) + memory.hidden.shape[2:])
-    return TrainMemory(hidden=jnp.moveaxis(hidden, 1, 0), count=memory.count,
-                       head=memory.head, transposed=memory.transposed)
-
-
-def unchunk_memory(tm: TrainMemory) -> Memory:
-    c, l1, b = tm.hidden.shape[:3]
-    hidden = jnp.moveaxis(tm.hidden, 0, 1).reshape(
-        (l1, c * b) + tm.hidden.shape[3:])
-    return Memory(hidden=hidden, count=tm.count, head=tm.head,
-                  transposed=tm.transposed)
-
-
 def init_train_memory(num_layers: int, batch: int, capacity: int,
                       d_model: int, n_chunks: int, dtype=jnp.float32,
-                      transposed: bool = False) -> TrainMemory:
-    tail = (d_model, capacity) if transposed else (capacity, d_model)
+                      transposed: bool = False,
+                      block_len: Optional[int] = None) -> TrainMemory:
+    """``block_len`` (transposed only): ring slab size in tokens — must equal
+    the training ``tgt_length``; defaults to ``capacity`` (one slab)."""
+    if transposed:
+        t = block_len or capacity
+        r = capacity // t if t else 0
+        assert r * (t or 0) == capacity, (capacity, t)
+        shape = (n_chunks, num_layers + 1, r, batch // n_chunks, d_model, t)
+    else:
+        shape = (n_chunks, num_layers + 1, batch // n_chunks, capacity,
+                 d_model)
     return TrainMemory(
-        hidden=jnp.zeros((n_chunks, num_layers + 1, batch // n_chunks) + tail,
-                         dtype=dtype),
+        hidden=jnp.zeros(shape, dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
         head=jnp.zeros((), dtype=jnp.int32),
         transposed=transposed,
@@ -211,15 +208,10 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
                                                         sem_per_physical)
         # only the NEW T rows leave the chunk — the memory write happens once,
         # in place, outside the scan (writing full ring buffers as scan ys
-        # costs a ~2 GB rewrite per step)
+        # costs a ~2 GB rewrite per step); the transpose to the D-major
+        # memory layout is fused into the ring-write kernel
         new_rows = jax.lax.stop_gradient(
             jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
-        if memory.transposed:
-            # pallas transpose-copy: does [B,T,D]->[B,D,T] in VMEM AND anchors
-            # the standard physical layout so the ring buffer, its update and
-            # the kv projections agree (see commu_tpu.ops.layout)
-            from ..ops.layout import transpose_last2
-            new_rows = transpose_last2(new_rows)         # [L+1, B/C, D, T]
         return loss / n_chunks, (new_rows, nll_sum, token_count)
 
     if remat:
@@ -242,19 +234,10 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
             chunk_idx, chunk_in, chunk_tgt, chunk_reset = xs
             # index the closed-over (loop-invariant) buffer directly instead
             # of passing it as scan xs — the xs slicing machinery relays the
-            # slice out before the layout constraint can take hold
+            # slice out; the chunk axis leads both layouts, so the slice is
+            # a contiguous view
             chunk_mem_h = jax.lax.dynamic_index_in_dim(
                 memory.hidden, chunk_idx, 0, keepdims=False)
-            if memory.transposed:
-                # pin the sliced chunk memory to the standard layout before
-                # the kv projections consume it — XLA's scan layout
-                # assignment otherwise relays the slice out twice
-                # (measured +2.5k tokens/s; pinning the scan xs or the ring
-                # buffer itself instead makes things worse)
-                from jax.experimental.layout import Layout, \
-                    with_layout_constraint
-                chunk_mem_h = with_layout_constraint(
-                    chunk_mem_h, Layout(tuple(range(chunk_mem_h.ndim))))
             chunk_mem = Memory(hidden=chunk_mem_h, count=memory.count,
                                head=memory.head,
                                transposed=memory.transposed)
@@ -266,47 +249,43 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
             return ((grads_acc, nll_acc + nll_sum, tok_acc + tok), new_rows)
 
         t_len = inputs.shape[1]
-        m_cap = memory.hidden.shape[4 if memory.transposed else 3]
+        m_cap = (memory.hidden.shape[2] * memory.hidden.shape[5]
+                 if memory.transposed else memory.hidden.shape[3])
         from ..models.transformer_xl import resolve_attn_impl
         ring = (resolve_attn_impl(cfg.model) == "pallas"
                 and 0 < t_len <= m_cap and m_cap % t_len == 0)
-        if unroll and ring:
+        if unroll:
             # unrolled micro-batches: XLA assigns each chunk's memory slice
             # the layout its consumers want (the lax.scan carry forces one
-            # layout onto producer AND consumer, costing ~17 ms/step of
-            # pathological transposes at the training shape); each chunk's
-            # new rows go straight into the donated ring buffer
+            # layout onto producer AND consumer)
             carry = (grad_zero, 0.0, 0.0)
             ins, tgts, rsts = to_chunks(inputs), to_chunks(targets), \
                 to_chunks(reset)
-            new_hidden = memory.hidden
+            rs = []
             for ci in range(n_chunks):
                 carry, r = scan_body(carry, (jnp.int32(ci), ins[ci], tgts[ci],
                                              rsts[ci]))
-                offset = (ci, 0, 0, 0, memory.head) if memory.transposed \
-                    else (ci, 0, 0, memory.head, 0)
-                new_hidden = jax.lax.dynamic_update_slice(
-                    new_hidden, r[None], offset)
+                rs.append(r)
             (grads, nll_sum, token_count) = carry
-            new_head = jnp.mod(memory.head + t_len, m_cap)
-            new_memory = TrainMemory(
-                hidden=new_hidden,
-                count=jnp.minimum(memory.count + t_len, m_cap),
-                head=new_head,
-                transposed=memory.transposed)
-            return _finish(state, new_memory, grads, nll_sum, token_count)
-
-        (grads, nll_sum, token_count), new_rows = jax.lax.scan(
-            scan_body, (grad_zero, 0.0, 0.0),
-            (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
-             to_chunks(reset)))
-        # new_rows: [C, L+1, B/C, T, D] ([C, L+1, B/C, D, T] transposed)
+            new_rows = jnp.stack(rs, axis=0)
+        else:
+            (grads, nll_sum, token_count), new_rows = jax.lax.scan(
+                scan_body, (grad_zero, 0.0, 0.0),
+                (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
+                 to_chunks(reset)))
+        # new_rows: [C, L+1, B/C, T, D]
         if ring:
-            # ONE in-place write of the new rows into the donated ring buffer
-            offset = (0, 0, 0, 0, memory.head) if memory.transposed else \
-                (0, 0, 0, memory.head, 0)
-            new_hidden = jax.lax.dynamic_update_slice(
-                memory.hidden, new_rows, offset)
+            if memory.transposed:
+                # ONE contiguous slab write into the aliased blocked ring
+                # buffer, transpose fused (commu_tpu.ops.layout.ring_write)
+                from ..ops.layout import ring_write
+                assert memory.hidden.shape[5] == t_len, \
+                    (memory.hidden.shape, t_len)
+                new_hidden = ring_write(memory.hidden, new_rows,
+                                        memory.head // t_len, axis=2)
+            else:
+                new_hidden = jax.lax.dynamic_update_slice(
+                    memory.hidden, new_rows, (0, 0, 0, memory.head, 0))
             new_head = jnp.mod(memory.head + t_len, m_cap)
         elif t_len < m_cap:
             assert not memory.transposed, \

@@ -45,7 +45,8 @@ def capture(out_dir: str, n_steps: int):
         transposed=transposed)
     memory = init_train_memory(
         cfg.model.num_layers, batch, tcfg.mem_length, cfg.model.units,
-        physical, dtype=jnp.bfloat16, transposed=transposed)
+        physical, dtype=jnp.bfloat16, transposed=transposed,
+        block_len=tgt)
     rng = np.random.RandomState(0)
     data = rng.randint(1, VOCAB_SIZE, size=(batch, tgt), dtype=np.int32)
     target = rng.randint(1, VOCAB_SIZE, size=(batch, tgt), dtype=np.int32)

@@ -188,3 +188,62 @@ def test_torch_checkpoint_roundtrip(tmp_path):
     assert flat1.keys() == flat2.keys()
     for k in flat1:
         np.testing.assert_allclose(np.asarray(flat1[k]), flat2[k], atol=1e-7)
+
+
+def test_transposed_blocked_ring_memory_matches_xla():
+    """The production memory layout (blocked D-major ring, pallas path, one
+    physical micro-batch) must produce the same per-step losses, grad norms
+    and memory contents as the dense XLA path with reference chunking."""
+    import dataclasses
+
+    from commu_tpu.models.transformer_xl import Memory, logical_memory_view
+
+    cfg_x = TrainingConfig(
+        model=ModelConfig(num_layers=2, num_heads=2, units=32, inner_size=64,
+                          dropout=0.0, attention_dropout=0.0, attn_impl="xla"),
+        train=TrainConfig(batch_size=4, batch_chunk=2, tgt_length=8,
+                          mem_length=24, lr=1e-3, warmup_step=5, max_step=50),
+        evaluate=EvaluateConfig(batch_size=4, tgt_length=8, mem_length=24),
+    )
+    cfg_p = dataclasses.replace(
+        cfg_x, model=dataclasses.replace(cfg_x.model, attn_impl="pallas"))
+    model_x = TransformerXL(VOCAB, cfg_x.model)
+    model_p = TransformerXL(VOCAB, cfg_p.model)
+    state_x = create_train_state(jax.random.PRNGKey(0), model_x, cfg_x)
+    state_p = state_x  # params are impl-independent
+
+    step_x = make_train_step(model_x, cfg_x)
+    step_p = make_train_step(model_p, cfg_p, physical_chunks=1)
+    mem_x = init_train_memory(2, 4, 24, 32, cfg_x.train.batch_chunk)
+    mem_p = init_train_memory(2, 4, 24, 32, 1, transposed=True, block_len=8)
+    assert mem_p.hidden.shape == (1, 3, 3, 4, 32, 8)  # [C, L+1, R, B, D, T]
+
+    rng = np.random.RandomState(7)
+    key = jax.random.PRNGKey(1)
+    for step in range(5):  # count 8 -> 16 -> 24 (full) -> ring wrap x2
+        inputs, targets, reset = _batch(rng, batch=4, t=8)
+        if step == 3:
+            reset[1] = True
+        state_x, mem_x, met_x = step_x(state_x, mem_x, inputs, targets,
+                                       reset, key)
+        state_p, mem_p, met_p = step_p(state_p, mem_p, inputs, targets,
+                                       reset, key)
+        np.testing.assert_allclose(float(met_p["nll_sum"]),
+                                   float(met_x["nll_sum"]),
+                                   rtol=1e-5, err_msg=f"step {step}")
+        np.testing.assert_allclose(float(met_p["grad_norm"]),
+                                   float(met_x["grad_norm"]),
+                                   rtol=1e-4, err_msg=f"step {step}")
+
+        # memory contents: dense right-aligned vs blocked ring, valid region
+        dense = Memory(
+            hidden=jnp.moveaxis(mem_x.hidden, 0, 1).reshape(3, 4, 24, 32),
+            count=mem_x.count, head=mem_x.head)
+        blocked = Memory(hidden=mem_p.hidden[0], count=mem_p.count,
+                         head=mem_p.head, transposed=True)
+        valid = int(mem_x.count)
+        vx = np.asarray(logical_memory_view(dense))[:, :, 24 - valid:]
+        vp = np.asarray(logical_memory_view(blocked))[:, :, 24 - valid:]
+        np.testing.assert_allclose(vp, vx, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"step {step}")
+        assert int(mem_p.count) == int(mem_x.count)
