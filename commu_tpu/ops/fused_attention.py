@@ -471,18 +471,19 @@ def _bwd_mem_kernel(kernel_fn, has_mem):
 
 
 def heads_per_program(heads: int, role: str = "fwd") -> int:
-    """Largest of {5, 2} dividing the head count: grouping heads in one
+    """Largest of {10, 5, 2} dividing the head count: grouping heads in one
     program lets the scheduler overlap head A's softmax (VPU) with head B's
     score matmuls (MXU); a single head is a strict MXU->VPU->MXU dependency
-    chain.  10 heads/program blows the 16 MB VMEM budget in the backward
-    (measured: hp=2 +2%, hp=5 +4.5% step throughput over hp=1).
-    ``COMMU_FWD_HP`` / ``COMMU_BWD_HP`` override per direction (perf
-    experiments)."""
+    chain (measured: hp=2 +2%, hp=5 +4.5% step throughput over hp=1; all 10
+    heads in one program +1% over hp=5 once the 40 MB vmem cap made it fit
+    — the 16 MB default rejected it).  ``COMMU_FWD_HP`` / ``COMMU_BWD_HP``
+    override per direction (perf experiments, or to fit a larger model's
+    working set)."""
     import os
     env = os.environ.get(f"COMMU_{role.upper()}_HP")
     if env:
         return int(env)
-    for hp in (5, 2):
+    for hp in (10, 5, 2):
         if heads % hp == 0:
             return hp
     return 1
