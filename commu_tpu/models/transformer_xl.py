@@ -77,6 +77,15 @@ class Memory:
     transposed: bool = struct.field(pytree_node=False, default=False)
 
 
+def ring_blocks(capacity: int, block_len: Optional[int]) -> Tuple[int, int]:
+    """(R, T) slab decomposition of a blocked ring: R slabs of T token slots
+    (T = ``block_len`` or the whole capacity); T must divide the capacity."""
+    t = block_len or capacity
+    r = capacity // t if t else 0
+    assert r * (t or 0) == capacity, (capacity, t)
+    return r, t
+
+
 def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
                 dtype=jnp.float32, transposed: bool = False,
                 block_len: Optional[int] = None) -> Memory:
@@ -84,9 +93,7 @@ def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
     the segment length the memory will be updated with (training/eval
     ``tgt_length``); defaults to ``capacity`` (one slab)."""
     if transposed:
-        t = block_len or capacity
-        r = capacity // t if t else 0
-        assert r * (t or 0) == capacity, (capacity, t)
+        r, t = ring_blocks(capacity, block_len)
         shape = (num_layers + 1, r, batch, d_model, t)
     else:
         shape = (num_layers + 1, batch, capacity, d_model)
@@ -277,8 +284,8 @@ class RelMultiHeadAttention(nn.Module):
                     train=not deterministic)
             else:
                 vec = fused_attention.attention(
-                    q, None, k_win, None, v_win, w_r, psi, r_w_bias, r_r_bias,
-                    mem_count, mem_head, reset, d_model=d_model, scale=scale,
+                    q, k_win, v_win, w_r, psi, r_w_bias, r_r_bias,
+                    reset, d_model=d_model, scale=scale,
                     same_length=same_length, dropout_p=cfg.attention_dropout,
                     dropout_seed=seed, train=not deterministic)
             if return_pre_norm:

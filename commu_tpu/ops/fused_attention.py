@@ -4,8 +4,10 @@ The XLA path materializes the [B, H, T, K] score and probability tensors in
 HBM twice per layer (forward) plus again in the backward — at the training
 shape (B=64 per chunk, H=10, T=128, K=1152) that is ~1.1 GB of HBM traffic
 per layer per direction, the dominant cost of the step.  This kernel keeps
-the whole score row-block in VMEM (K=1152 keys x 128 queries x f32 = 590 KB,
-far under the ~16 MB budget), so scores/probabilities never touch HBM.
+the whole score row-block in VMEM (K=1152 keys x 128 queries x f32 = 590 KB
+per head), so scores/probabilities never touch HBM.  The kernels run under
+a raised 40 MB vmem cap (``_VMEM_LIMIT``) — the all-heads-in-one-program
+working set of the memory-fused backward exceeds Mosaic's 16 MB default.
 
 Operand layout: every tensor carries the head dim on SUBLANES and the token
 dim on LANES — q/do: [B, H, dh, T]; k/v: [B, H, dh, M] + [B, H, dh, T].
@@ -417,21 +419,22 @@ def _scalars(dropout_seed, reset, batch):
     ])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
-def fused_core(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_core(qw, qr, k_win, v_win, w_r, trig_a, psi, mask,
                scalars, dropout_p, train):
-    """Fused XL attention over kernel-layout operands.
+    """Fused attention over kernel-layout operands, NO XL memory (the
+    memory-less special case — priming a fresh sequence; attention over a
+    nonempty memory goes through ``fused_core_mem``, whose backward
+    accumulates the memory-half weight gradients in-kernel).
 
     qw, qr: [B, H, dh, T] — query streams with the content/position biases
     and the 1/sqrt(dh) scale already folded in (autodiff distributes their
-    cotangents back to q and the biases); k_mem, v_mem: [B, H, dh, M] (or
-    None when there is no memory); k_win, v_win: [B, H, dh, T]; w_r:
+    cotangents back to q and the biases); k_win, v_win: [B, H, dh, T]; w_r:
     [H, dh, 512] packed position projection (``pack_r_kernel``); trig_a:
-    [T, 512] per-query trig factors (``query_trig_table``); psi: [512, M+T]
-    per-key trig basis in RING order (``key_trig_basis`` + ``ring_psi``);
-    mask: [2, T, M+T] additive bias from ``build_mask_bias``; scalars: int32
-    [1 + B] = [dropout_seed, reset_rows...].  Returns [B, H, dh, T] in qw's
-    dtype.
+    [T, 512] per-query trig factors (``query_trig_table``); psi: [512, T]
+    per-key trig basis (``key_trig_basis``); mask: [2, T, T] additive bias
+    from ``build_mask_bias``; scalars: int32 [1 + B] =
+    [dropout_seed, reset_rows...].  Returns [B, H, dh, T] in qw's dtype.
 
     Upstream projections should produce these layouts DIRECTLY via
     reshaped-kernel einsums (see RelMultiHeadAttention) — they are the
@@ -439,7 +442,7 @@ def fused_core(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
     the kernel DMAs ever touch the 50->128 lane padding a head-minor layout
     pays.
     """
-    out, _ = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
+    out, _ = _fused_fwd(qw, qr, None, k_win, None, v_win, w_r, trig_a, psi,
                         mask, scalars, dropout_p, train, save_e=False)
     return out
 
@@ -470,6 +473,11 @@ def _bwd_mem_kernel(kernel_fn, has_mem):
     return wrapped
 
 
+def _mem_cap(k_mem) -> int:
+    """Memory capacity M = R*Tb of a blocked [B, R, H, dh, Tb] operand."""
+    return 0 if k_mem is None else k_mem.shape[1] * k_mem.shape[4]
+
+
 def heads_per_program(heads: int, role: str = "fwd") -> int:
     """Largest of {10, 5, 2} dividing the head count: grouping heads in one
     program lets the scheduler overlap head A's softmax (VPU) with head B's
@@ -482,7 +490,11 @@ def heads_per_program(heads: int, role: str = "fwd") -> int:
     import os
     env = os.environ.get(f"COMMU_{role.upper()}_HP")
     if env:
-        return int(env)
+        hp = int(env)
+        assert heads % hp == 0, (
+            f"COMMU_{role.upper()}_HP={hp} must divide the head count "
+            f"{heads} (the grid covers heads // hp groups)")
+        return hp
     for hp in (10, 5, 2):
         if heads % hp == 0:
             return hp
@@ -493,7 +505,7 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
                 trig_a, psi, mask, scalars, extra=(), hp=None):
     batch, heads, dh, t = qw.shape
     # k_mem/v_mem are BLOCKED [B, R, H, dh, Tb] (ring slabs; M = R*Tb)
-    m_cap = 0 if k_mem is None else k_mem.shape[1] * k_mem.shape[4]
+    m_cap = _mem_cap(k_mem)
     if hp is None:
         hp = heads_per_program(heads)
     bh_t = pl.BlockSpec((1, hp, dh, t), lambda b, h, s: (b, h, 0, 0),
@@ -517,8 +529,6 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
                             memory_space=pltpu.VMEM)
 
     has_mem = k_mem is not None
-    assert not any(kind == "m" for kind, _ in outs) or not has_mem, \
-        "memory-half cotangent outputs are only produced by fused_core_mem"
     kv_specs = [bh_m, bh_t, bh_m, bh_t] if has_mem else [bh_t, bh_t]
     # "e" blocks are [T, K] score-shaped (the checkpointed exp scores)
     e_blk = pl.BlockSpec((1, hp, t, m_cap + t), lambda b, h, s: (b, h, 0, 0),
@@ -531,15 +541,13 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
     out_specs = []
     out_shape = []
     for kind, dtype in outs:
-        if kind == "m" and not has_mem:
-            continue
         if kind == "e":
             out_specs.append(e_blk)
             out_shape.append(jax.ShapeDtypeStruct(
                 (batch, heads, t, m_cap + t), dtype))
             continue
-        n = {"t": t, "m": m_cap, "f": fdim}[kind]
-        spec = {"t": bh_t, "m": bh_m, "f": bh_f}[kind]
+        n = {"t": t, "f": fdim}[kind]
+        spec = {"t": bh_t, "f": bh_f}[kind]
         out_specs.append(spec)
         out_shape.append(jax.ShapeDtypeStruct((batch, heads, dh, n), dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -556,11 +564,6 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(scalars, *operands, *[arr for _, arr in extra])
-
-
-def _mem_cap(k_mem) -> int:
-    """Memory capacity M = R*Tb of a blocked [B, R, H, dh, Tb] operand."""
-    return 0 if k_mem is None else k_mem.shape[1] * k_mem.shape[4]
 
 
 def _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
@@ -583,35 +586,29 @@ def _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
 def _fused_bwd(dropout_p, train, residuals, g):
     (qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
      scalars, e) = residuals
+    assert k_mem is None, "memory attention differentiates via fused_core_mem"
     t = qw.shape[3]
-    m_cap = _mem_cap(k_mem)
-    has_mem = k_mem is not None
     dtype = qw.dtype
     bwd_hp = heads_per_program(qw.shape[1], "bwd")
     kernel = _bwd_mem_kernel(functools.partial(
-        _bwd_kernel, t=t, k_len=m_cap + t, dropout_p=dropout_p, train=train,
-        hp=bwd_hp), has_mem)
-    outs = _fused_call(
+        _bwd_kernel, t=t, k_len=t, dropout_p=dropout_p, train=train,
+        hp=bwd_hp), False)
+    dqw, dqr, dkw, dvw, dwr_bh = _fused_call(
         kernel,
-        [("t", dtype), ("t", dtype), ("m", dtype), ("t", dtype),
-         ("m", dtype), ("t", dtype), ("f", dtype)],
-        qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask, scalars,
+        [("t", dtype), ("t", dtype), ("t", dtype), ("t", dtype),
+         ("f", dtype)],
+        qw, qr, None, k_win, None, v_win, w_r, trig_a, psi, mask, scalars,
         extra=(("t", g.astype(dtype)), ("e", e)), hp=bwd_hp)
-    if has_mem:
-        dqw, dqr, dkm, dkw, dvm, dvw, dwr_bh = outs
-    else:
-        dqw, dqr, dkw, dvw, dwr_bh = outs
-        dkm = dvm = None
     dwr = dwr_bh.sum(axis=0, dtype=jnp.float32).astype(w_r.dtype)
     # trig_a/psi/mask are pure functions of step counters (no parameters
     # upstream): symbolic-zero cotangents, DCE'd by XLA
-    return (dqw, dqr, dkm, dkw, dvm, dvw, dwr, jnp.zeros_like(trig_a),
+    return (dqw, dqr, dkw, dvw, dwr, jnp.zeros_like(trig_a),
             jnp.zeros_like(psi), jnp.zeros_like(mask), None)
 
 
 fused_core.defvjp(
-    lambda qw, qr, km, kw, vm, vw, wr, ta, ps, mask, s, dp, tr: _fused_fwd(
-        qw, qr, km, kw, vm, vw, wr, ta, ps, mask, s, dp, tr, save_e=True),
+    lambda qw, qr, kw, vw, wr, ta, ps, mask, s, dp, tr: _fused_fwd(
+        qw, qr, None, kw, None, vw, wr, ta, ps, mask, s, dp, tr, save_e=True),
     _fused_bwd,
 )
 
@@ -855,27 +852,25 @@ def _fused_bwd_mem(dropout_p, train, layer_idx, residuals, g):
 fused_core_mem.defvjp(_fused_fwd_mem, _fused_bwd_mem)
 
 
-def attention(q, k_mem, k_win, v_mem, v_win, w_r, psi, r_w_bias, r_r_bias,
-              mem_count, mem_head, reset: Optional[jnp.ndarray], *, d_model,
+def attention(q, k_win, v_win, w_r, psi, r_w_bias, r_r_bias,
+              reset: Optional[jnp.ndarray], *, d_model,
               scale, same_length, dropout_p=0.0, dropout_seed=0, train=False):
-    """Kernel-layout entry point.
+    """Kernel-layout entry point for the NO-memory case (fresh sequence /
+    zero-capacity memory; nonempty memories go through ``attention_mem``).
 
-    q: [B, H, dh, T]; k_mem, v_mem: [B, R, H, dh, Tb] ring-slab blocks (may
-    be None) where the memory keys live in a RING (M = R*Tb slots) whose
-    next write position is ``mem_head``;
-    k_win, v_win: [B, H, dh, T]; w_r: [H, dh, 512] (``pack_r_kernel`` of the
-    position projection); psi: [512, M+T] key trig basis ALREADY in ring
-    order (``ring_psi``), possibly with positional dropout applied.
+    q, k_win, v_win: [B, H, dh, T]; w_r: [H, dh, 512] (``pack_r_kernel`` of
+    the position projection); psi: [512, T] key trig basis
+    (``key_trig_basis``), possibly with positional dropout applied.
     Returns [B, H, dh, T].
     """
     t = q.shape[3]
-    m_cap = _mem_cap(k_mem)
     qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
     qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
-    trig_a = query_trig_table(t, m_cap, d_model, dtype=q.dtype)
-    mask = build_mask_bias(t, m_cap, mem_count, mem_head, same_length)
+    trig_a = query_trig_table(t, 0, d_model, dtype=q.dtype)
+    mask = build_mask_bias(t, 0, jnp.zeros((), jnp.int32),
+                           jnp.zeros((), jnp.int32), same_length)
     scalars = _scalars(dropout_seed, reset, q.shape[0])
-    return fused_core(qw, qr, k_mem, k_win, v_mem, v_win, w_r,
+    return fused_core(qw, qr, k_win, v_win, w_r,
                       trig_a, psi.astype(q.dtype), mask, scalars,
                       dropout_p, train)
 

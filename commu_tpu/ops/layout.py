@@ -1,14 +1,12 @@
-"""Layout-anchoring helpers.
+"""Memory-layout kernels: the aliased blocked-ring slab write.
 
-JAX has no way to pin the physical layout of an intermediate value, and
-XLA's layout assignment sometimes settles on a buffer layout that makes one
-producer cheap while every consumer pays a transposing copy (measured:
-~17 ms/step of pathological [.., B, D, M] relayouts around the XL-memory
-ring buffer at the training shape).  A Pallas call's operands and results
-are ALWAYS standard-layout (minor dim on lanes), so routing a value through
-a trivial Pallas transpose both (a) performs the logical transpose in VMEM
-at copy bandwidth and (b) anchors the result's physical layout, letting the
-ring buffer, its dynamic-update-slice and the kv projections all agree.
+A Pallas call's operands and results are ALWAYS standard-layout (minor dim
+on lanes), so routing a value through a Pallas copy both performs the
+logical transpose in VMEM at copy bandwidth and anchors the result's
+physical layout.  ``ring_write`` uses this to update the XL-memory ring
+buffer in place: one contiguous slab write with the [T, D] -> [D, T]
+transpose fused in, aliased through ``input_output_aliases`` so the rest of
+the buffer is never touched.
 """
 from __future__ import annotations
 
@@ -20,10 +18,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
-
-
-def _transpose_kernel(x_ref, o_ref):
-    o_ref[...] = jnp.swapaxes(x_ref[...], -1, -2)
 
 
 def _ring_write_kernel(s_ref, buf_ref, rows_ref, out_ref):
@@ -90,22 +84,3 @@ def ring_write(buf: jnp.ndarray, rows: jnp.ndarray, block_index,
         input_output_aliases={1: 0},
     )(jnp.asarray(block_index, jnp.int32).reshape(1), buf, rows)
 
-
-def transpose_last2(x: jnp.ndarray) -> jnp.ndarray:
-    """[..., T, D] -> [..., D, T] as a standard-layout Pallas copy."""
-    *lead, t, d = x.shape
-    n = len(lead)
-
-    def idx(*args):
-        return args[:n] + (0, 0)
-
-    return pl.pallas_call(
-        _transpose_kernel,
-        grid=tuple(lead),
-        in_specs=[pl.BlockSpec((1,) * n + (t, d), idx,
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1,) * n + (d, t), idx,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(tuple(lead) + (d, t), x.dtype),
-        interpret=_interpret(),
-    )(x)

@@ -70,9 +70,8 @@ def init_train_memory(num_layers: int, batch: int, capacity: int,
     """``block_len`` (transposed only): ring slab size in tokens — must equal
     the training ``tgt_length``; defaults to ``capacity`` (one slab)."""
     if transposed:
-        t = block_len or capacity
-        r = capacity // t if t else 0
-        assert r * (t or 0) == capacity, (capacity, t)
+        from ..models.transformer_xl import ring_blocks
+        r, t = ring_blocks(capacity, block_len)
         shape = (n_chunks, num_layers + 1, r, batch // n_chunks, d_model, t)
     else:
         shape = (n_chunks, num_layers + 1, batch // n_chunks, capacity,

@@ -38,6 +38,9 @@ CFG = ModelConfig(num_layers=N_LAYER, num_heads=N_HEAD, units=D_MODEL,
 def _torch_reference():
     add_reference_to_path()
     torch = pytest.importorskip("torch")
+    # single-threaded torch: multi-thread reduction order varies with system
+    # load and was the source of parity flakes at the tight tolerance
+    torch.set_num_threads(1)
     ref_model_mod = pytest.importorskip("commu.model.model")
 
     cfg = types.SimpleNamespace(
@@ -85,7 +88,7 @@ def test_logits_parity_across_memory_states():
         ours_logits, memory = flax_model.apply(
             variables, jnp.asarray(data), memory, deterministic=True)
         np.testing.assert_allclose(
-            np.asarray(ours_logits), ref_logits, rtol=5e-4, atol=5e-4,
+            np.asarray(ours_logits), ref_logits, rtol=2e-4, atol=2e-4,
             err_msg=f"step {step}")
 
         # memory contents: reference [L+1, mlen, B, D] vs ours right-aligned
@@ -93,7 +96,7 @@ def test_logits_parity_across_memory_states():
         mlen = ref_mem.shape[1]
         ours_mem = np.asarray(memory.hidden)[:, :, MEM - mlen:, :]  # [L+1,B,mlen,D]
         np.testing.assert_allclose(
-            ours_mem, ref_mem.transpose(0, 2, 1, 3), rtol=5e-4, atol=5e-4)
+            ours_mem, ref_mem.transpose(0, 2, 1, 3), rtol=2e-4, atol=2e-4)
         assert int(memory.count) == mlen
 
 
@@ -114,7 +117,7 @@ def test_logits_parity_same_length():
             variables, jnp.asarray(data), memory, same_length=True,
             deterministic=True)
         np.testing.assert_allclose(
-            np.asarray(ours_logits), ref_logits, rtol=5e-4, atol=5e-4,
+            np.asarray(ours_logits), ref_logits, rtol=2e-4, atol=2e-4,
             err_msg=f"step {step}")
 
 
@@ -149,7 +152,7 @@ def test_nll_parity_with_reset_flags():
         logits = flax_model.apply(variables, hidden, method=TransformerXL.logits)
         ours_nll = token_nll(logits, jnp.asarray(target))
         np.testing.assert_allclose(np.asarray(ours_nll), ref_nll,
-                                   rtol=5e-4, atol=5e-4, err_msg=f"step {step}")
+                                   rtol=2e-4, atol=2e-4, err_msg=f"step {step}")
 
 
 def test_rel_shift_against_bruteforce():
