@@ -224,25 +224,10 @@ def _trig_combine_bwd(dphi, trig_a):
     return jnp.concatenate([du_s, du_c], axis=1)
 
 
-def _attn_core(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-               wr_ref, trig_ref, psi_ref, mask_ref, b, h, hh,
-               *, t, k_len, dropout_p, train):
-    """Shared forward computation -> (probs f32 [T,K] post-dropout+normalize,
-    e f32 [T,K] clean unnormalized, inv_denom f32 [T,1], phi, qw, k, v, qr).
-
-    The content/position biases AND the 1/sqrt(dh) scale are folded into the
-    two query streams OUTSIDE the kernel (qw = (q + r_w_bias) * scale, ...):
-    tiny [1,1,dh] bias blocks deadlock the runtime's DMA path, and the fold
-    is free in XLA anyway.
-    """
-    # operands stay in their storage dtype (bf16 in training): the MXU
-    # multiplies bf16 natively with f32 accumulation via
-    # preferred_element_type — casting to f32 first would halve throughput
-    qw = qw_ref[0, hh, :, :]                         # [dh, T]
-    qr = qr_ref[0, hh, :, :]                         # [dh, T]
+def _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh):
+    """Assemble one head's k/v [dh, K] in VMEM from the blocked memory slabs
+    ([1, R, hp, dh, Tb] ring layout) and the window half."""
     if km_ref is not None:
-        # memory halves arrive BLOCKED [1, R, hp, dh, Tb] (the ring-slab
-        # layout); the slabs join the window half lane-wise in VMEM
         r_blocks = km_ref.shape[1]
         k = jnp.concatenate(
             [km_ref[0, r, hh] for r in range(r_blocks)] + [kw_ref[0, hh]],
@@ -253,6 +238,23 @@ def _attn_core(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     else:
         k = kw_ref[0, hh]
         v = vw_ref[0, hh]
+    return k, v
+
+
+def _attn_scores(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+                 wr_ref, trig_ref, psi_ref, mask_ref, b, h, hh):
+    """Score phase (MXU): masked scores s f32 [T, K] plus this head's v.
+
+    The content/position biases AND the 1/sqrt(dh) scale are folded into the
+    two query streams OUTSIDE the kernel (qw = (q + r_w_bias) * scale, ...):
+    tiny [1,1,dh] bias blocks deadlock the runtime's DMA path, and the fold
+    is free in XLA anyway.  Operands stay in their storage dtype (bf16 in
+    training): the MXU multiplies bf16 natively with f32 accumulation via
+    preferred_element_type — casting to f32 first would halve throughput.
+    """
+    qw = qw_ref[0, hh, :, :]                         # [dh, T]
+    qr = qr_ref[0, hh, :, :]                         # [dh, T]
+    k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh)
     w_r = wr_ref[h]                                  # [dh, 512] (resident)
     psi = psi_ref[:, :]                              # [512, K]  (resident)
 
@@ -266,11 +268,14 @@ def _attn_core(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
 
     reset_b = scalar_ref[1 + b]
     s = ac + bd + mask_ref[reset_b].astype(jnp.float32)
+    return s, v
 
+
+def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
+    """Softmax phase (VPU): (probs post-dropout+normalize, e clean)."""
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     inv_denom = 1.0 / jnp.sum(e, axis=1, keepdims=True)              # [T,1]
-
     if train and dropout_p > 0.0:
         pltpu.prng_seed(scalar_ref[0] + b * 4096 + h)
         bits = pltpu.prng_random_bits((t, k_len))                    # uint32
@@ -280,25 +285,18 @@ def _attn_core(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
         probs = jnp.where(keep, e * (inv_denom * (1.0 / (1.0 - dropout_p))),
                           0.0)
     else:
-        keep = None
         probs = e * inv_denom
-
-    return probs, e, inv_denom, keep, phi, qw, k, v, qr
+    return probs, e
 
 
 def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                 wr_ref, trig_ref, psi_ref, mask_ref, o_ref, e_ref=None,
                 *, t, k_len, dropout_p, train, hp):
     b, hg = pl.program_id(0), pl.program_id(1)
-    # statically unrolled heads-per-program loop: head hh+1's score matmuls
-    # (MXU) are data-independent of head hh's softmax (VPU), so the scheduler
-    # can overlap the units — a single head is a strict MXU->VPU->MXU chain
-    for hh in range(hp):
-        h = hg * hp + hh
-        probs, e, _, _, _, _, _, v, _ = _attn_core(
-            scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-            wr_ref, trig_ref, psi_ref, mask_ref, b, h, hh,
-            t=t, k_len=k_len, dropout_p=dropout_p, train=train)
+
+    def finish(hh, h, s, v):
+        probs, e = _attn_softmax(scalar_ref, s, b, h, t=t, k_len=k_len,
+                                 dropout_p=dropout_p, train=train)
         o = jax.lax.dot_general(v, probs.astype(v.dtype),
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [dh,T]
@@ -309,40 +307,59 @@ def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
             # 295 KB per program, far cheaper than recomputing AC + BD + u
             e_ref[0, hh, :, :] = e.astype(e_ref.dtype)
 
+    # software-pipelined heads: head hh+1's score matmuls (MXU) are emitted
+    # BEFORE head hh's softmax/output phase, giving the scheduler a full
+    # head of independent MXU work to overlay on each VPU phase (the
+    # unrolled-in-order form measured ~30% below the overlapped floor)
+    pend = None
+    for hh in range(hp):
+        h = hg * hp + hh
+        s, v = _attn_scores(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref,
+                            vm_ref, vw_ref, wr_ref, trig_ref, psi_ref,
+                            mask_ref, b, h, hh)
+        if pend is not None:
+            finish(*pend)
+        pend = (hh, h, s, v)
+    finish(*pend)
+
 
 def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                 wr_ref, trig_ref, psi_ref, mask_ref, do_ref, e_ref,
                 dq_ref, dqr_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref,
                 *, t, k_len, dropout_p, train, hp):
     b, hg = pl.program_id(0), pl.program_id(1)
-    for hh in range(hp):
-        _bwd_one_head(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
-                      vw_ref, wr_ref, trig_ref, psi_ref, do_ref, e_ref,
-                      dq_ref, dqr_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref,
-                      dwr_ref, b, hg * hp + hh, hh,
-                      t=t, k_len=k_len, dropout_p=dropout_p, train=train)
+    m_cap = k_len - t
+
+    def stage_a(h, hh):
+        return _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref,
+                            vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
+                            t=t, k_len=k_len, dropout_p=dropout_p,
+                            train=train)
+
+    def finish(hh, h, a):
+        dq_ac, dqr, dk, dv, dwr = _bwd_stage_b(
+            wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p)
+        dq_ref[0, hh, :, :] = dq_ac.astype(dq_ref.dtype)
+        dqr_ref[0, hh, :, :] = dqr.astype(dqr_ref.dtype)
+        if dkm_ref is not None:
+            dkm_ref[0, hh, :, :] = dk[:, :m_cap].astype(dkm_ref.dtype)
+            dvm_ref[0, hh, :, :] = dv[:, :m_cap].astype(dvm_ref.dtype)
+        dkw_ref[0, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
+        dvw_ref[0, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
+        dwr_ref[0, hh, :, :] = dwr.astype(dwr_ref.dtype)
+
+    _bwd_pipeline(hp, hg, stage_a, finish)
 
 
-def _bwd_head_math(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-                   wr_ref, trig_ref, psi_ref, do_ref, e_ref, b, h, hh,
-                   *, t, k_len, dropout_p, train):
-    """Per-head backward math -> (dq_ac, dqr, dk [dh,K], dv [dh,K], dwr).
+def _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+                 do_ref, e_ref, b, h, hh, *, t, k_len, dropout_p, train):
+    """Backward stage A for one head: restore the softmax state from the
+    checkpointed exp scores and run the first matmul pair (dv, dp).
     ``b``/``h`` are LOGICAL batch/head indices (the dropout mask regenerates
     from them, independent of grid order)."""
     qw = qw_ref[0, hh, :, :]
     qr = qr_ref[0, hh, :, :]
-    if km_ref is not None:
-        r_blocks = km_ref.shape[1]
-        k = jnp.concatenate(
-            [km_ref[0, r, hh] for r in range(r_blocks)] + [kw_ref[0, hh]],
-            axis=1)
-        v = jnp.concatenate(
-            [vm_ref[0, r, hh] for r in range(r_blocks)] + [vw_ref[0, hh]],
-            axis=1)
-    else:
-        k = kw_ref[0, hh]
-        v = vw_ref[0, hh]
-    # softmax state restored from the checkpointed exp scores
+    k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh)
     e = e_ref[0, hh, :, :].astype(jnp.float32)                       # [T,K]
     inv_denom = 1.0 / jnp.sum(e, axis=1, keepdims=True)
     if train and dropout_p > 0.0:
@@ -356,7 +373,6 @@ def _bwd_head_math(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
         keep = None
         probs = e * inv_denom
     do = do_ref[0, hh, :, :]                                          # [dh,T]
-    m_cap = k_len - t
 
     # dv uses the POST-dropout probabilities (o = dropout(p) @ v)
     probs_c = probs.astype(do.dtype)
@@ -364,11 +380,19 @@ def _bwd_head_math(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                              preferred_element_type=jnp.float32)     # [dh,K]
     dp = jax.lax.dot_general(do, v, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)     # [T,K]
+    p_clean = e * inv_denom
+    return qw, qr, k, dv, dp, p_clean, keep
+
+
+def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
+                 *, dropout_p):
+    """Backward stage B: softmax backward (VPU) and the remaining matmuls
+    -> (dq_ac, dqr, dk [dh,K], dv [dh,K], dwr)."""
+    qw, qr, k, dv, dp, p_clean, keep = stage_a
     # dropout backward FIRST (d dropout(p) -> d p is the same keep/scale
     # mask), then the softmax backward on the CLEAN probabilities —
     # folding the mask into p instead is wrong: dropped positions still
     # receive the -p * rowsum term
-    p_clean = e * inv_denom
     if keep is not None:
         dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_p)), 0.0)
     ds = p_clean * (dp - jnp.sum(dp * p_clean, axis=1, keepdims=True))  # [T,K]
@@ -391,23 +415,20 @@ def _bwd_head_math(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     return dq_ac, dqr, dk, dv, dwr
 
 
-def _bwd_one_head(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-                  wr_ref, trig_ref, psi_ref, do_ref, e_ref,
-                  dq_ref, dqr_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref,
-                  dwr_ref, b, h, hh, *, t, k_len, dropout_p, train):
-    m_cap = k_len - t
-    dq_ac, dqr, dk, dv, dwr = _bwd_head_math(
-        scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref, wr_ref,
-        trig_ref, psi_ref, do_ref, e_ref, b, h, hh,
-        t=t, k_len=k_len, dropout_p=dropout_p, train=train)
-    dq_ref[0, hh, :, :] = dq_ac.astype(dq_ref.dtype)
-    dqr_ref[0, hh, :, :] = dqr.astype(dqr_ref.dtype)
-    if dkm_ref is not None:
-        dkm_ref[0, hh, :, :] = dk[:, :m_cap].astype(dkm_ref.dtype)
-        dvm_ref[0, hh, :, :] = dv[:, :m_cap].astype(dvm_ref.dtype)
-    dkw_ref[0, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
-    dvw_ref[0, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
-    dwr_ref[0, hh, :, :] = dwr.astype(dwr_ref.dtype)
+def _bwd_pipeline(hp, hg, stage_a, finish):
+    """Software-pipelined head loop: head hh+1's stage A (exp-score restore
+    + dv/dp matmuls) is emitted BEFORE head hh's stage B, interleaving
+    independent MXU and VPU work across heads (same reasoning as
+    ``_fwd_kernel``; measured ~10% on the whole step)."""
+    pend = None
+    for hh in range(hp):
+        h = hg * hp + hh
+        a = stage_a(h, hh)
+        if pend is not None:
+            finish(*pend)
+        pend = (hh, h, a)
+    finish(*pend)
+
 
 
 def _scalars(dropout_seed, reset, batch):
@@ -638,12 +659,16 @@ def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
     r_blocks = mem_ref.shape[1]                  # mem_ref [1, R, 1, D, Tb]
     t_blk = mem_ref.shape[4]
     dk_ms, dv_ms, dwrs = [], [], []
-    for hh in range(hp):
-        h = hg * hp + hh
-        dq_ac, dqr, dk, dv, dwr = _bwd_head_math(
-            scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-            wr_ref, trig_ref, psi_ref, do_ref, e_ref, b, h, hh,
-            t=t, k_len=k_len, dropout_p=dropout_p, train=train)
+
+    def stage_a(h, hh):
+        return _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref,
+                            vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
+                            t=t, k_len=k_len, dropout_p=dropout_p,
+                            train=train)
+
+    def finish(hh, h, a):
+        dq_ac, dqr, dk, dv, dwr = _bwd_stage_b(
+            wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p)
         dq_ref[0, hh, :, :] = dq_ac.astype(dq_ref.dtype)
         dqr_ref[0, hh, :, :] = dqr.astype(dqr_ref.dtype)
         dkw_ref[0, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
@@ -651,6 +676,8 @@ def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
         dk_ms.append(dk[:, :m_cap].astype(mem_ref.dtype))        # [dh, M]
         dv_ms.append(dv[:, :m_cap].astype(mem_ref.dtype))
         dwrs.append(dwr)
+
+    _bwd_pipeline(hp, hg, stage_a, finish)
     # dW_k[group] += dk_mem @ mem^T over all hp heads at once, one matmul
     # per ring slab (no [D, M] concat of the memory in VMEM), accumulated
     # f32 across the batch grid (the standalone XLA contraction rounds dkm
