@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _interpret
+from .fused_attention import _VMEM_LIMIT, _interpret
 
 LN_EPS = 1e-5
 # distinct dropout streams per (batch row, site)
@@ -87,58 +87,78 @@ def _ln_bwd(dy, norm, rstd, g):
     return rstd * (dnorm - m1 - norm * m2)
 
 
+def _pipeline(rp, base, stage_a, finish):
+    """Software-pipelined row loop: row r+1's stage A (which ends in a
+    matmul) is emitted BEFORE row r's finish phase, interleaving independent
+    MXU and VPU work across the rows of one program (same reasoning as the
+    attention kernels' head pipelining)."""
+    pend = None
+    for r in range(rp):
+        a = stage_a(r, base + r)
+        if pend is not None:
+            finish(*pend)
+        pend = (r, base + r, a)
+    finish(*pend)
+
+
 def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     g1_ref, be1_ref, g2_ref, be2_ref,
                     y_ref, z1_ref=None, z2_ref=None, h1_ref=None,
-                    stats_ref=None, *, dropout_p, train):
-    b = pl.program_id(0)
+                    stats_ref=None, *, dropout_p, train, rp):
+    bp = pl.program_id(0)
     cdt = x_ref.dtype
-    x = x_ref[0].astype(jnp.float32)                              # [D, T]
-    o = o_ref[0].astype(jnp.float32)
     drop = train and dropout_p > 0.0
     seed = scalar_ref[0]
-
-    if drop:
-        keep_o = _dropout_mask(seed, b, _SALT_O, o.shape, dropout_p)
-        o = _apply_drop(o, keep_o, dropout_p)
-    z1 = x + o
     g1 = g1_ref[:, 0:1].astype(jnp.float32)                       # [D, 1]
     be1 = be1_ref[:, 0:1].astype(jnp.float32)
-    a_f32, _, mean1, rstd1 = _ln_fwd(z1, g1, be1)
-    a = a_f32.astype(cdt)                                         # [D, T]
-
-    w1 = w1_ref[...]                                              # [D, F]
-    h1_pre = jax.lax.dot_general(w1, a, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    h1 = jnp.maximum(h1_pre + b1_ref[:, 0:1].astype(jnp.float32), 0.0)
-    h1_c = h1.astype(cdt)                                         # [F, T]
-    if drop:
-        keep_h = _dropout_mask(seed, b, _SALT_H, h1.shape, dropout_p)
-        h1_d = _apply_drop(h1, keep_h, dropout_p).astype(cdt)
-    else:
-        h1_d = h1_c
-
-    w2 = w2_ref[...]                                              # [F, D]
-    f = jax.lax.dot_general(w2, h1_d, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    f = f + b2_ref[:, 0:1].astype(jnp.float32)                    # [D, T]
-    if drop:
-        keep_f = _dropout_mask(seed, b, _SALT_F, f.shape, dropout_p)
-        f = _apply_drop(f, keep_f, dropout_p)
-    z2 = a_f32 + f
     g2 = g2_ref[:, 0:1].astype(jnp.float32)
     be2 = be2_ref[:, 0:1].astype(jnp.float32)
-    y, _, mean2, rstd2 = _ln_fwd(z2, g2, be2)
+    w1 = w1_ref[...]                                              # [D, F]
+    w2 = w2_ref[...]                                              # [F, D]
 
-    y_ref[0] = y.astype(y_ref.dtype)
-    if z1_ref is not None:  # VJP forward: checkpoint for the backward
-        z1_ref[0] = z1.astype(z1_ref.dtype)
-        z2_ref[0] = z2.astype(z2_ref.dtype)
-        h1_ref[0] = h1_c
-        stats_ref[0, 0:1, :] = mean1
-        stats_ref[0, 1:2, :] = rstd1
-        stats_ref[0, 2:3, :] = mean2
-        stats_ref[0, 3:4, :] = rstd2
+    def stage_a(r, b):
+        """attention residual + LN1 (VPU), then the W1 matmul (MXU)."""
+        x = x_ref[r].astype(jnp.float32)                          # [D, T]
+        o = o_ref[r].astype(jnp.float32)
+        if drop:
+            keep_o = _dropout_mask(seed, b, _SALT_O, o.shape, dropout_p)
+            o = _apply_drop(o, keep_o, dropout_p)
+        z1 = x + o
+        a_f32, _, mean1, rstd1 = _ln_fwd(z1, g1, be1)
+        a = a_f32.astype(cdt)                                     # [D, T]
+        h1_pre = jax.lax.dot_general(w1, a, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        return z1, a_f32, mean1, rstd1, h1_pre
+
+    def finish(r, b, st):
+        """relu/dropout (VPU), W2 matmul (MXU), LN2 + writes (VPU)."""
+        z1, a_f32, mean1, rstd1, h1_pre = st
+        h1 = jnp.maximum(h1_pre + b1_ref[:, 0:1].astype(jnp.float32), 0.0)
+        h1_c = h1.astype(cdt)                                     # [F, T]
+        if drop:
+            keep_h = _dropout_mask(seed, b, _SALT_H, h1.shape, dropout_p)
+            h1_d = _apply_drop(h1, keep_h, dropout_p).astype(cdt)
+        else:
+            h1_d = h1_c
+        f = jax.lax.dot_general(w2, h1_d, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        f = f + b2_ref[:, 0:1].astype(jnp.float32)                # [D, T]
+        if drop:
+            keep_f = _dropout_mask(seed, b, _SALT_F, f.shape, dropout_p)
+            f = _apply_drop(f, keep_f, dropout_p)
+        z2 = a_f32 + f
+        y, _, mean2, rstd2 = _ln_fwd(z2, g2, be2)
+        y_ref[r] = y.astype(y_ref.dtype)
+        if z1_ref is not None:  # VJP forward: checkpoint for the backward
+            z1_ref[r] = z1.astype(z1_ref.dtype)
+            z2_ref[r] = z2.astype(z2_ref.dtype)
+            h1_ref[r] = h1_c
+            stats_ref[r, 0:1, :] = mean1
+            stats_ref[r, 1:2, :] = rstd1
+            stats_ref[r, 2:3, :] = mean2
+            stats_ref[r, 3:4, :] = rstd2
+
+    _pipeline(rp, bp * rp, stage_a, finish)
 
 
 def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref,
@@ -146,99 +166,105 @@ def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref,
                     z1_ref, z2_ref, h1_ref, stats_ref, dy_ref,
                     dx_ref, do_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                     dg1_ref, dbe1_ref, dg2_ref, dbe2_ref,
-                    *, dropout_p, train):
-    b = pl.program_id(0)
-    first = b == 0
+                    *, dropout_p, train, rp):
+    bp = pl.program_id(0)
+    first = bp == 0
     cdt = x_ref.dtype
     drop = train and dropout_p > 0.0
     seed = scalar_ref[0]
-
-    stats = stats_ref[0]
-    mean1, rstd1 = stats[0:1, :], stats[1:2, :]
-    mean2, rstd2 = stats[2:3, :], stats[3:4, :]
-    z1 = z1_ref[0].astype(jnp.float32)
-    z2 = z2_ref[0].astype(jnp.float32)
     g1 = g1_ref[:, 0:1].astype(jnp.float32)
     be1 = be1_ref[:, 0:1].astype(jnp.float32)
     g2 = g2_ref[:, 0:1].astype(jnp.float32)
-    norm1 = (z1 - mean1) * rstd1
-    norm2 = (z2 - mean2) * rstd2
-    a_f32 = norm1 * g1 + be1
-    a = a_f32.astype(cdt)
-    h1 = h1_ref[0]                                                # [F, T] cdt
-    if drop:
-        keep_h = _dropout_mask(seed, b, _SALT_H, h1.shape, dropout_p)
-        h1_d = _apply_drop(h1.astype(jnp.float32), keep_h,
-                           dropout_p).astype(cdt)
-    else:
-        h1_d = h1
-    dy = dy_ref[0].astype(jnp.float32)                            # [D, T]
-
-    # ---- LN2 backward
-    dz2 = _ln_bwd(dy, norm2, rstd2, g2)
-    dg2 = jnp.sum(dy * norm2, axis=1, keepdims=True)              # [D, 1]
-    dbe2 = jnp.sum(dy, axis=1, keepdims=True)
-
-    # ---- second dense (+ dropout) backward
-    df = dz2
-    if drop:
-        keep_f = _dropout_mask(seed, b, _SALT_F, df.shape, dropout_p)
-        df = _apply_drop(df, keep_f, dropout_p)
-    df_c = df.astype(cdt)
-    db2 = jnp.sum(df, axis=1, keepdims=True)                      # [D, 1]
-    dw2 = jax.lax.dot_general(h1_d, df_c, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [F, D]
-    w2 = w2_ref[...]
-    dh1d = jax.lax.dot_general(w2, df_c, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # [F, T]
-
-    # ---- dropout + relu backward
-    dh1 = dh1d
-    if drop:
-        dh1 = _apply_drop(dh1, keep_h, dropout_p)
-    dh1 = jnp.where(h1.astype(jnp.float32) > 0.0, dh1, 0.0)
-    dh1_c = dh1.astype(cdt)
-    db1 = jnp.sum(dh1, axis=1, keepdims=True)                     # [F, 1]
-    dw1 = jax.lax.dot_general(a, dh1_c, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [D, F]
     w1 = w1_ref[...]
-    da = jax.lax.dot_general(w1, dh1_c, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # [D, T]
-    da = da + dz2                                                  # residual
+    w2 = w2_ref[...]
+    acc = {}  # per-program sums of the parameter-gradient contributions
 
-    # ---- LN1 backward
-    dz1 = _ln_bwd(da, norm1, rstd1, g1)
-    dg1 = jnp.sum(da * norm1, axis=1, keepdims=True)
-    dbe1 = jnp.sum(da, axis=1, keepdims=True)
+    def stage_a(r, b):
+        """Checkpoint restore + LN2 backward (VPU), dW2/dh1d matmuls (MXU)."""
+        stats = stats_ref[r]
+        mean1, rstd1 = stats[0:1, :], stats[1:2, :]
+        mean2, rstd2 = stats[2:3, :], stats[3:4, :]
+        z1 = z1_ref[r].astype(jnp.float32)
+        z2 = z2_ref[r].astype(jnp.float32)
+        norm1 = (z1 - mean1) * rstd1
+        norm2 = (z2 - mean2) * rstd2
+        a_f32 = norm1 * g1 + be1
+        a = a_f32.astype(cdt)
+        h1 = h1_ref[r]                                            # [F, T] cdt
+        if drop:
+            keep_h = _dropout_mask(seed, b, _SALT_H, h1.shape, dropout_p)
+            h1_d = _apply_drop(h1.astype(jnp.float32), keep_h,
+                               dropout_p).astype(cdt)
+        else:
+            keep_h = None
+            h1_d = h1
+        dy = dy_ref[r].astype(jnp.float32)                        # [D, T]
 
-    do = dz1
-    if drop:
-        keep_o = _dropout_mask(seed, b, _SALT_O, do.shape, dropout_p)
-        do = _apply_drop(do, keep_o, dropout_p)
-    dx_ref[0] = dz1.astype(dx_ref.dtype)
-    do_ref[0] = do.astype(do_ref.dtype)
+        # ---- LN2 backward
+        dz2 = _ln_bwd(dy, norm2, rstd2, g2)
+        dg2 = jnp.sum(dy * norm2, axis=1, keepdims=True)          # [D, 1]
+        dbe2 = jnp.sum(dy, axis=1, keepdims=True)
+
+        # ---- second dense (+ dropout) backward
+        df = dz2
+        if drop:
+            keep_f = _dropout_mask(seed, b, _SALT_F, df.shape, dropout_p)
+            df = _apply_drop(df, keep_f, dropout_p)
+        df_c = df.astype(cdt)
+        db2 = jnp.sum(df, axis=1, keepdims=True)                  # [D, 1]
+        dw2 = jax.lax.dot_general(h1_d, df_c, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # [F,D]
+        dh1d = jax.lax.dot_general(w2, df_c, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # [F,T]
+        return (norm1, rstd1, a, h1, keep_h, dz2, dg2, dbe2, db2, dw2, dh1d)
+
+    def finish(r, b, st):
+        """relu/dropout backward (VPU), dW1/da matmuls (MXU), LN1 backward
+        + writes (VPU); parameter gradients accumulate into ``acc``."""
+        (norm1, rstd1, a, h1, keep_h, dz2, dg2, dbe2, db2, dw2, dh1d) = st
+        dh1 = dh1d
+        if drop:
+            dh1 = _apply_drop(dh1, keep_h, dropout_p)
+        dh1 = jnp.where(h1.astype(jnp.float32) > 0.0, dh1, 0.0)
+        dh1_c = dh1.astype(cdt)
+        db1 = jnp.sum(dh1, axis=1, keepdims=True)                 # [F, 1]
+        dw1 = jax.lax.dot_general(a, dh1_c, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # [D,F]
+        da = jax.lax.dot_general(w1, dh1_c, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)   # [D,T]
+        da = da + dz2                                              # residual
+
+        # ---- LN1 backward
+        dz1 = _ln_bwd(da, norm1, rstd1, g1)
+        dg1 = jnp.sum(da * norm1, axis=1, keepdims=True)
+        dbe1 = jnp.sum(da, axis=1, keepdims=True)
+
+        do = dz1
+        if drop:
+            keep_o = _dropout_mask(seed, b, _SALT_O, do.shape, dropout_p)
+            do = _apply_drop(do, keep_o, dropout_p)
+        dx_ref[r] = dz1.astype(dx_ref.dtype)
+        do_ref[r] = do.astype(do_ref.dtype)
+        for key, val in (("dw1", dw1), ("db1", db1), ("dw2", dw2),
+                         ("db2", db2), ("dg1", dg1), ("dbe1", dbe1),
+                         ("dg2", dg2), ("dbe2", dbe2)):
+            acc[key] = val if key not in acc else acc[key] + val
+
+    _pipeline(rp, bp * rp, stage_a, finish)
+
+    refs = {"dw1": dw1_ref, "db1": db1_ref, "dw2": dw2_ref, "db2": db2_ref,
+            "dg1": dg1_ref, "dbe1": dbe1_ref, "dg2": dg2_ref,
+            "dbe2": dbe2_ref}
 
     @pl.when(first)
     def _():
-        dw1_ref[...] = dw1
-        db1_ref[...] = db1
-        dw2_ref[...] = dw2
-        db2_ref[...] = db2
-        dg1_ref[...] = dg1
-        dbe1_ref[...] = dbe1
-        dg2_ref[...] = dg2
-        dbe2_ref[...] = dbe2
+        for key, ref in refs.items():
+            ref[...] = acc[key]
 
     @pl.when(jnp.logical_not(first))
     def _():
-        dw1_ref[...] += dw1
-        db1_ref[...] += db1
-        dw2_ref[...] += dw2
-        db2_ref[...] += db2
-        dg1_ref[...] += dg1
-        dbe1_ref[...] += dbe1
-        dg2_ref[...] += dg2
-        dbe2_ref[...] += dbe2
+        for key, ref in refs.items():
+            ref[...] += acc[key]
 
 
 def _col(v):
@@ -246,8 +272,15 @@ def _col(v):
     return v.reshape(-1, 1)
 
 
-def _bt(shape):  # per-batch-row [1, rows, T] block
-    return pl.BlockSpec((1,) + shape, lambda b, s: (b, 0, 0),
+def _rows_per_program(batch: int) -> int:
+    """2 rows per program when the batch allows: the pipelined row pair
+    overlaps one row's matmuls with the other's LayerNorm/dropout vector
+    work (a single row is a strict VPU->MXU->VPU->MXU->VPU chain)."""
+    return 2 if batch % 2 == 0 else 1
+
+
+def _bt(rp, shape):  # rows-per-program [rp, rows, T] block
+    return pl.BlockSpec((rp,) + shape, lambda b, s: (b, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -262,12 +295,14 @@ def _ffn_fwd_call(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
     batch, d, t = x.shape
     f = w1.shape[1]
     cdt = x.dtype
+    rp = _rows_per_program(batch)
     kernel = functools.partial(_ffn_fwd_kernel, dropout_p=dropout_p,
-                               train=train)
-    out_specs = [_bt((d, t))]
+                               train=train, rp=rp)
+    out_specs = [_bt(rp, (d, t))]
     out_shape = [jax.ShapeDtypeStruct((batch, d, t), cdt)]       # y
     if save:  # checkpoints for the backward
-        out_specs += [_bt((d, t)), _bt((d, t)), _bt((f, t)), _bt((4, t))]
+        out_specs += [_bt(rp, (d, t)), _bt(rp, (d, t)), _bt(rp, (f, t)),
+                      _bt(rp, (4, t))]
         out_shape += [
             jax.ShapeDtypeStruct((batch, d, t), cdt),            # z1
             jax.ShapeDtypeStruct((batch, d, t), cdt),            # z2
@@ -275,15 +310,16 @@ def _ffn_fwd_call(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
             jax.ShapeDtypeStruct((batch, 4, t), jnp.float32),    # LN stats
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(batch,),
-        in_specs=[_bt((d, t)), _bt((d, t)), _res(w1.shape), _res((f, 1)),
-                  _res(w2.shape), _res((d, 1)), _res((d, 1)), _res((d, 1)),
-                  _res((d, 1)), _res((d, 1))],
+        num_scalar_prefetch=1, grid=(batch // rp,),
+        in_specs=[_bt(rp, (d, t)), _bt(rp, (d, t)), _res(w1.shape),
+                  _res((f, 1)), _res(w2.shape), _res((d, 1)), _res((d, 1)),
+                  _res((d, 1)), _res((d, 1)), _res((d, 1))],
         out_specs=out_specs if save else out_specs[0])
     scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=out_shape if save else out_shape[0],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(scalars, x, o, w1, _col(b1), w2, _col(b2), _col(g1), _col(be1),
       _col(g2), _col(be2))
@@ -295,16 +331,17 @@ def _ffn_bwd_call(x, o, w1, b1, w2, g1, be1, g2, be2, seed,
     batch, d, t = x.shape
     f = w1.shape[1]
     cdt = x.dtype
+    rp = _rows_per_program(batch)
     kernel = functools.partial(_ffn_bwd_kernel, dropout_p=dropout_p,
-                               train=train)
+                               train=train, rp=rp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(batch,),
-        in_specs=[_bt((d, t)), _bt((d, t)), _res(w1.shape), _res((f, 1)),
-                  _res(w2.shape), _res((d, 1)), _res((d, 1)), _res((d, 1)),
-                  _res((d, 1)),
-                  _bt((d, t)), _bt((d, t)), _bt((f, t)), _bt((4, t)),
-                  _bt((d, t))],
-        out_specs=[_bt((d, t)), _bt((d, t)),
+        num_scalar_prefetch=1, grid=(batch // rp,),
+        in_specs=[_bt(rp, (d, t)), _bt(rp, (d, t)), _res(w1.shape),
+                  _res((f, 1)), _res(w2.shape), _res((d, 1)), _res((d, 1)),
+                  _res((d, 1)), _res((d, 1)),
+                  _bt(rp, (d, t)), _bt(rp, (d, t)), _bt(rp, (f, t)),
+                  _bt(rp, (4, t)), _bt(rp, (d, t))],
+        out_specs=[_bt(rp, (d, t)), _bt(rp, (d, t)),
                    _res((d, f)), _res((f, 1)), _res((f, d)), _res((d, 1)),
                    _res((d, 1)), _res((d, 1)), _res((d, 1)), _res((d, 1))])
     out_shape = [
@@ -322,6 +359,7 @@ def _ffn_bwd_call(x, o, w1, b1, w2, g1, be1, g2, be2, seed,
     scalars = jnp.asarray(seed, jnp.int32).reshape(1)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(scalars, x, o, w1, _col(b1), w2, _col(g1), _col(be1), _col(g2),
       _col(be2), z1, z2, h1, stats, dy)
