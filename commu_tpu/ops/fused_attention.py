@@ -311,16 +311,18 @@ def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     # BEFORE head hh's softmax/output phase, giving the scheduler a full
     # head of independent MXU work to overlay on each VPU phase (the
     # unrolled-in-order form measured ~30% below the overlapped floor)
-    pend = None
+    depth = _pipe_depth()
+    pend = []
     for hh in range(hp):
         h = hg * hp + hh
         s, v = _attn_scores(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref,
                             vm_ref, vw_ref, wr_ref, trig_ref, psi_ref,
                             mask_ref, b, h, hh)
-        if pend is not None:
-            finish(*pend)
-        pend = (hh, h, s, v)
-    finish(*pend)
+        pend.append((hh, h, s, v))
+        if len(pend) > depth:
+            finish(*pend.pop(0))
+    for st in pend:
+        finish(*st)
 
 
 def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
@@ -415,19 +417,27 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
     return dq_ac, dqr, dk, dv, dwr
 
 
+def _pipe_depth() -> int:
+    """Heads in flight ahead of the finish phase (COMMU_PIPE_DEPTH; depth 1
+    measured best — deeper lookahead costs VMEM without more overlap)."""
+    import os
+    return int(os.environ.get("COMMU_PIPE_DEPTH", "1"))
+
+
 def _bwd_pipeline(hp, hg, stage_a, finish):
     """Software-pipelined head loop: head hh+1's stage A (exp-score restore
     + dv/dp matmuls) is emitted BEFORE head hh's stage B, interleaving
     independent MXU and VPU work across heads (same reasoning as
     ``_fwd_kernel``; measured ~10% on the whole step)."""
-    pend = None
+    depth = _pipe_depth()
+    pend = []
     for hh in range(hp):
         h = hg * hp + hh
-        a = stage_a(h, hh)
-        if pend is not None:
-            finish(*pend)
-        pend = (hh, h, a)
-    finish(*pend)
+        pend.append((hh, h, stage_a(h, hh)))
+        if len(pend) > depth:
+            finish(*pend.pop(0))
+    for st in pend:
+        finish(*st)
 
 
 
