@@ -25,11 +25,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..config import TrainingConfig
 from ..data.dataset import ComMUDataset
 from ..models.transformer_xl import TransformerXL, init_memory
 from ..parallel import make_mesh, shard_eval_step, shard_train_step
+from ..parallel import multihost as mh
 from ..vocab.event_tokens import VOCAB_SIZE
 from . import checkpoint as ckpt
 from .step import TrainState, create_train_state, make_eval_step, make_train_step
@@ -51,12 +53,19 @@ class Trainer:
         self.profile = profile
         self.data_dir = data_dir
         self.work_dir = work_dir
+        # Mesh over ALL devices — spans hosts after multihost.initialize()
+        # (the reference's multi-node DDP launch, train.py:361, README.md:80).
         self.mesh = make_mesh(num_devices)
         self.num_devices = self.mesh.devices.size
+        self.multiprocess = jax.process_count() > 1
+        self.is_primary = mh.is_primary()
 
         tcfg = self.cfg.train
         assert tcfg.batch_size % (tcfg.batch_chunk * self.num_devices) == 0, (
             "global batch must divide into batch_chunk x num_devices chunks")
+        if self.multiprocess:
+            assert tcfg.batch_size % jax.process_count() == 0, (
+                "global batch must divide across processes")
 
         self.dataset = ComMUDataset(data_dir)
         self.model = TransformerXL(VOCAB_SIZE, self.cfg.model, dtype=model_dtype)
@@ -72,12 +81,18 @@ class Trainer:
         self.init_rng, self.run_rng = jax.random.split(rng)
         self.state = create_train_state(
             self.init_rng, self.model, self.cfg, self.num_devices)
+        if self.multiprocess:
+            # deterministic init -> identical on every process; lift onto the
+            # global mesh (replicated), incl. the dropout rng
+            self.state = mh.replicate_to_global(self.mesh, self.state)
+            self.run_rng = mh.replicate_to_global(self.mesh, self.run_rng)
         n_params = sum(int(np.prod(p.shape)) for p in
                        jax.tree_util.tree_leaves(self.state.params))
         logger.info("#total params = %d", n_params)  # reference train.py:478
         self.best_val_nll = math.inf
         self.ckpts = ckpt.CheckpointManager(work_dir)
-        ckpt.write_config_snapshot(work_dir, self.cfg)
+        if self.is_primary:
+            ckpt.write_config_snapshot(work_dir, self.cfg)
 
         # Eval batch: at least the reference's 10 rows, rounded up to a
         # multiple of the mesh size so rows shard evenly.  Grouping does not
@@ -90,6 +105,8 @@ class Trainer:
             return False
         self.state, self.best_val_nll = self.ckpts.restore(
             "checkpoint_last", self.state)
+        if self.multiprocess:
+            self.state = mh.replicate_to_global(self.mesh, self.state)
         logger.info("Resumed from step %d (best val nll %.4f)",
                     int(self.state.step), self.best_val_nll)
         return True
@@ -106,17 +123,23 @@ class Trainer:
         total_nll = 0.0
         memory = None
         nll_parts = []
+        from ..parallel.mesh import _memory_shardings
+        mem_shardings = _memory_shardings(self.mesh, self._transposed_mem())
         for batch in self.dataset.eval_iterator(
                 self.eval_batch, ecfg.tgt_length, split=split):
             if batch.reset[0] or memory is None:
-                memory = init_memory(
-                    self.cfg.model.num_layers, self.eval_batch,
-                    ecfg.mem_length, self.cfg.model.units,
-                    dtype=self.model_dtype, transposed=self._transposed_mem(),
-                    block_len=ecfg.tgt_length)
+                memory = self._device_memory(
+                    lambda: init_memory(
+                        self.cfg.model.num_layers, self.eval_batch,
+                        ecfg.mem_length, self.cfg.model.units,
+                        dtype=self.model_dtype,
+                        transposed=self._transposed_mem(),
+                        block_len=ecfg.tgt_length),
+                    mem_shardings)
             reset = np.zeros(self.eval_batch, dtype=bool)
             nll_sum, tok, memory = self.eval_step(
-                self.state.params, memory, batch.inputs, batch.targets, reset)
+                self.state.params, memory, self._feed(batch.inputs),
+                self._feed(batch.targets), self._feed(reset))
             nll_parts.append(nll_sum)
             total_tokens += batch.token_count
         total_nll = float(sum(float(x) for x in nll_parts))
@@ -129,17 +152,43 @@ class Trainer:
         return resolve_attn_impl(self.cfg.model) == "pallas"
 
     # ------------------------------------------------------------------
+    def _feed(self, arr: np.ndarray):
+        """Host batch array -> mesh.  Multi-host: every process materialized
+        the identical global batch from the deterministic iterator; each
+        contributes its own contiguous row slice (the analog of the
+        reference's rank-sharded iterators, dataset.py:196-205)."""
+        if not self.multiprocess:
+            return arr
+        rows = arr[mh.process_batch_slice(arr.shape[0])]
+        from ..parallel.mesh import DATA_AXIS
+        return mh.host_local_to_global(self.mesh, P(DATA_AXIS), rows,
+                                       arr.shape)
+
+    def _device_memory(self, init_fn, shardings):
+        """Create the XL memory directly on the (possibly multi-host) mesh.
+        A host-created buffer cannot be committed to non-addressable devices,
+        so under multi-process the zeros are produced by a jitted program
+        with explicit out_shardings."""
+        if not self.multiprocess:
+            return init_fn()
+        return jax.jit(init_fn, out_shardings=shardings)()
+
+    # ------------------------------------------------------------------
     def train(self, max_step: Optional[int] = None) -> None:
         from .step import init_train_memory, resolve_physical_chunks
 
         tcfg = self.cfg.train
         max_step = max_step or tcfg.max_step
-        memory = init_train_memory(self.cfg.model.num_layers, tcfg.batch_size,
-                                   tcfg.mem_length, self.cfg.model.units,
-                                   resolve_physical_chunks(self.cfg),
-                                   dtype=self.model_dtype,
-                                   transposed=self._transposed_mem(),
-                                   block_len=tcfg.tgt_length)
+        from ..parallel.mesh import _train_memory_shardings
+        memory = self._device_memory(
+            lambda: init_train_memory(
+                self.cfg.model.num_layers, tcfg.batch_size,
+                tcfg.mem_length, self.cfg.model.units,
+                resolve_physical_chunks(self.cfg),
+                dtype=self.model_dtype,
+                transposed=self._transposed_mem(),
+                block_len=tcfg.tgt_length),
+            _train_memory_shardings(self.mesh, self._transposed_mem()))
 
         it = self.dataset.train_iterator(
             tcfg.batch_size, tcfg.tgt_length, shuffle=True, seed=tcfg.seed)
@@ -159,7 +208,8 @@ class Trainer:
             if self.profile and step == profile_start:
                 jax.profiler.start_trace(str(self.ckpts.work_dir / "profile"))
             self.state, memory, metrics = self.train_step(
-                self.state, memory, batch.inputs, batch.targets, batch.reset,
+                self.state, memory, self._feed(batch.inputs),
+                self._feed(batch.targets), self._feed(batch.reset),
                 self.run_rng)
             log_metrics.append(metrics)
             log_tokens += batch.token_count
@@ -193,6 +243,10 @@ class Trainer:
                 logger.info("Eval step %d, time=%.1fs, val nll=%.4f, val ppl=%.2f",
                             step, time.time() - t0, val_nll,
                             math.exp(min(val_nll, 700.0)))
+                # The reference's rank-0 save + barrier (train.py:20-26,50-54)
+                # maps to a *collective* Orbax save: every process calls it
+                # (Orbax runs its own cross-process barriers) and only the
+                # primary host physically writes the replicated arrays.
                 self.ckpts.save_last(self.state, self.best_val_nll)
                 if val_nll < self.best_val_nll:
                     self.best_val_nll = val_nll
@@ -214,6 +268,8 @@ class Trainer:
         """Load checkpoint_best and run the test pass (train.py:486-514)."""
         if self.ckpts.has("checkpoint_best"):
             self.state, _ = self.ckpts.restore("checkpoint_best", self.state)
+            if self.multiprocess:
+                self.state = mh.replicate_to_global(self.mesh, self.state)
         tokens, nll_sum = self.evaluate("test")
         nll = nll_sum / max(tokens, 1)
         logger.info("End of training | test nll %5.2f | test ppl %9.3f",

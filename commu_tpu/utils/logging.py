@@ -1,7 +1,8 @@
 """Run logging (reference: logger.py:1-11, commu/model/exp_utils.py:7-37).
 
-One process owns all devices, so the reference's per-rank log files collapse
-to a single ``train.log`` plus console output.
+Single-process runs get one ``train.log`` plus console.  Multi-host runs get
+the reference's layout (exp_utils.py:19-36): a per-rank file
+``train_rank{N}.log`` and console output on rank 0 only.
 """
 from __future__ import annotations
 
@@ -12,18 +13,23 @@ from typing import Optional
 
 
 def configure_logging(work_dir: Optional[str] = None,
-                      name: str = "ComMU") -> logging.Logger:
+                      name: str = "ComMU",
+                      rank: Optional[int] = None) -> logging.Logger:
+    """``rank=None`` — single-process layout; ``rank=N`` — multi-host layout
+    (per-rank file, console only on rank 0)."""
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
     fmt = logging.Formatter(
         "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-    console = logging.StreamHandler(sys.stdout)
-    console.setFormatter(fmt)
-    logger.addHandler(console)
+    if rank is None or rank == 0:
+        console = logging.StreamHandler(sys.stdout)
+        console.setFormatter(fmt)
+        logger.addHandler(console)
     if work_dir is not None:
         Path(work_dir).mkdir(parents=True, exist_ok=True)
-        fh = logging.FileHandler(str(Path(work_dir) / "train.log"))
+        fname = "train.log" if rank is None else f"train_rank{rank}.log"
+        fh = logging.FileHandler(str(Path(work_dir) / fname))
         fh.setFormatter(fmt)
         logger.addHandler(fh)
     logger.propagate = False

@@ -32,6 +32,17 @@ def parse_args():
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 4-10 into "
                         "work_dir/profile")
+    # Multi-host data parallelism (replaces the reference's
+    # torch.distributed.launch + env:// rendezvous, train.py:361, README.md:80).
+    # On TPU pods --distributed alone suffices (coordinator auto-discovered);
+    # elsewhere pass the rendezvous triple explicitly.
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: call jax.distributed.initialize and "
+                        "build the mesh over all hosts' devices")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (auto-discovered on TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -54,17 +65,38 @@ def apply_overrides(cfg, overrides):
 def main():
     args = parse_args()
 
-    work_dir = f"{args.work_dir}/{time.strftime('%Y%m%d-%H%M%S')}" \
-        if not args.resume else args.work_dir
-
-    from commu_tpu.utils.logging import configure_logging
-    logger = configure_logging(work_dir)
-
     import os
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         # Honor the env var even when a sitecustomize pre-selected a platform.
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    rank = None
+    if args.distributed:
+        from commu_tpu.parallel import multihost as mh
+        mh.initialize(coordinator_address=args.coordinator_address,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+        rank = mh.process_index()
+
+    if args.resume:
+        work_dir = args.work_dir
+    else:
+        # Timestamped work_dir; under multi-host every process must agree on
+        # it, so process 0's timestamp wins (reference: broadcast(exp_time),
+        # train.py:363-364).
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        if rank is not None:
+            import numpy as np
+            from jax.experimental import multihost_utils
+            packed = np.frombuffer(
+                stamp.encode().ljust(24), dtype=np.uint8).copy()
+            packed = multihost_utils.broadcast_one_to_all(packed)
+            stamp = bytes(packed).rstrip(b"\x00 ").decode()
+        work_dir = f"{args.work_dir}/{stamp}"
+
+    from commu_tpu.utils.logging import configure_logging
+    logger = configure_logging(work_dir, rank=rank)
 
     import jax.numpy as jnp
     from commu_tpu.config import get_default_cfg_training
