@@ -186,15 +186,21 @@ def generate_sequence(engine: InferenceEngine, input_data, seq: List[int],
 
 
 def execute(engine: InferenceEngine, input_data, encoded_meta: List[int],
-            seed: int = 0, validate: bool = True) -> List[List[int]]:
+            seed: int = 0, validate: bool = True,
+            max_attempts_per_sequence: Optional[int] = 20) -> List[List[int]]:
     """Generate until ``num_generate`` valid sequences
-    (reference: midi_inferrer.py:338-354)."""
+    (reference: midi_inferrer.py:338-354).
+
+    Deliberate deviation: the reference retries forever; by default this
+    raises after ``max_attempts_per_sequence * num_generate`` attempts.
+    Pass ``max_attempts_per_sequence=None`` for unbounded retries."""
     rng = np.random.default_rng(seed)
     sequences: List[List[int]] = []
     attempts = 0
     while len(sequences) != input_data.num_generate:
         attempts += 1
-        if attempts > 20 * input_data.num_generate:
+        if (max_attempts_per_sequence is not None and
+                attempts > max_attempts_per_sequence * input_data.num_generate):
             raise RuntimeError("generation repeatedly failed validation")
         logger.info("Generating the idx: %d", len(sequences) + 1)
         seq, cache = engine.prime(encoded_meta)

@@ -319,10 +319,16 @@ def _validate(inp, seq: List[int], rem: int) -> bool:
 
 def execute(model, params, cfg: ModelConfig, icfg: InferenceConfig,
             input_data, encoded_meta: List[int], seed: int = 0,
-            validate: bool = True) -> List[List[int]]:
+            validate: bool = True,
+            max_rounds: Optional[int] = 20) -> List[List[int]]:
     """Generate ``num_generate`` valid sequences for one prompt, batching all
     attempts per round (replaces the reference's one-at-a-time retry loop,
-    midi_inferrer.py:338-354)."""
+    midi_inferrer.py:338-354).
+
+    Deliberate deviation: the reference retries forever on repeated
+    validation failure (midi_inferrer.py:342-353); by default this gives up
+    after ``max_rounds`` rounds with a clear error.  Pass ``max_rounds=None``
+    for the reference's unbounded behavior."""
     key = jax.random.PRNGKey(seed)
     want = input_data.num_generate
     batch = [input_data] * want  # fixed width: every round reuses one compile
@@ -331,7 +337,7 @@ def execute(model, params, cfg: ModelConfig, icfg: InferenceConfig,
     rounds = 0
     while len(sequences) < want:
         rounds += 1
-        if rounds > 20:
+        if max_rounds is not None and rounds > max_rounds:
             raise RuntimeError("generation repeatedly failed validation")
         key, sub = jax.random.split(key)
         outs, failed, rems = run_episode(
@@ -351,17 +357,19 @@ def execute(model, params, cfg: ModelConfig, icfg: InferenceConfig,
 
 def execute_batch(model, params, cfg: ModelConfig, icfg: InferenceConfig,
                   inputs: List, encoded_metas: List[List[int]],
-                  seed: int = 0, max_rounds: int = 20, validate: bool = True):
+                  seed: int = 0, max_rounds: Optional[int] = 20,
+                  validate: bool = True):
     """Multi-prompt batched generation: one sequence per input row, retrying
-    only the rows that failed validation."""
+    only the rows that failed validation.  ``max_rounds=None`` retries
+    forever (reference behavior, midi_inferrer.py:342-353)."""
     key = jax.random.PRNGKey(seed)
     G = len(inputs)
     episode, chord_cap = build_episode(model, params, cfg, icfg, inputs)
     results: List[Optional[List[int]]] = [None] * G
     pending = list(range(G))
-    for _ in range(max_rounds):
-        if not pending:
-            break
+    rounds = 0
+    while pending and (max_rounds is None or rounds < max_rounds):
+        rounds += 1
         key, sub = jax.random.split(key)
         # keep the batch width constant (pad with retried rows) — one compile
         slots = (pending * ((G + len(pending) - 1) // len(pending)))[:G]

@@ -275,8 +275,15 @@ class RelMultiHeadAttention(nn.Module):
                 kv_kernel = kv_net(None, return_kernel=True)
                 wk3 = kv_kernel[:, :hd].reshape(d_model, n_head, d_head)
                 wv3 = kv_kernel[:, hd:].reshape(d_model, n_head, d_head)
+                if mem.dtype != x.dtype:
+                    # an astype here would copy the FULL multi-GB ring buffer
+                    # once per layer; the memory is created with the model
+                    # dtype, so a mismatch is a wiring bug — fail loudly
+                    raise TypeError(
+                        f"pallas path: memory dtype {mem.dtype} must equal "
+                        f"activation dtype {x.dtype}")
                 vec = fused_attention.attention_mem(
-                    q, mem.astype(x.dtype), layer_idx, wk3, wv3, k_win,
+                    q, mem, layer_idx, wk3, wv3, k_win,
                     v_win, w_r, psi, r_w_bias, r_r_bias, mem_count, mem_head,
                     reset, d_model=d_model, scale=scale,
                     same_length=same_length,

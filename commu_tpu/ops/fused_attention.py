@@ -522,9 +522,13 @@ def heads_per_program(heads: int, role: str = "fwd") -> int:
     env = os.environ.get(f"COMMU_{role.upper()}_HP")
     if env:
         hp = int(env)
-        assert heads % hp == 0, (
-            f"COMMU_{role.upper()}_HP={hp} must divide the head count "
-            f"{heads} (the grid covers heads // hp groups)")
+        if heads % hp != 0:
+            # hard error (not assert): under python -O a silently-accepted
+            # non-dividing hp would make the heads//hp grid skip trailing
+            # heads — wrong outputs, not a crash
+            raise ValueError(
+                f"COMMU_{role.upper()}_HP={hp} must divide the head count "
+                f"{heads} (the grid covers heads // hp groups)")
         return hp
     for hp in (10, 5, 2):
         if heads % hp == 0:

@@ -382,16 +382,18 @@ def _ffn_block_fwd(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
     y, z1, z2, h1, stats = _ffn_fwd_call(
         x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, dropout_p, train,
         save=True)
-    return y, (x, o, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats)
+    return y, (x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, z1, z2, h1,
+               stats)
 
 
 def _ffn_block_bwd(dropout_p, train, residuals, dy):
-    (x, o, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats) = residuals
+    (x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, z1, z2, h1,
+     stats) = residuals
     (dx, do, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = _ffn_bwd_call(
         x, o, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats, dy,
         dropout_p, train)
     return (dx, do, dw1.astype(w1.dtype), db1[:, 0].astype(b1.dtype),
-            dw2.astype(w2.dtype), db2[:, 0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[:, 0].astype(b2.dtype),
             dg1[:, 0].astype(g1.dtype), dbe1[:, 0].astype(be1.dtype),
             dg2[:, 0].astype(g2.dtype), dbe2[:, 0].astype(be2.dtype), None)
 
