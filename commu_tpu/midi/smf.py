@@ -102,8 +102,17 @@ _SF_TO_MAJOR[-7] = 11  # Cb == B
 
 
 def key_name_to_number(name: str) -> int:
-    """``"C"``/``"Am"``/``"d#m"``/``"Eb"`` -> 0..23."""
+    """``"C"``/``"Am"``/``"d#m"``/``"Eb"`` -> 0..23.  Also accepts the ComMU
+    constants style ``"cmajor"``/``"a#minor"`` (reference KEY_MAP keys,
+    constants.py:22-73), which the reference's ``write_midi`` passes straight
+    into ``KeySignature(key_name=...)`` (encoder_utils.py:471-473)."""
     name = name.strip()
+    low = name.lower()
+    if low.endswith(("major", "minor")):
+        root = name[:-5].strip()
+        root_key = root[0].upper() + root[1:]
+        pc = _NAME_TO_PC[root_key]
+        return pc + 12 if low.endswith("minor") else pc
     minor = name.endswith("m") or (name[0].islower() and not name.endswith("M"))
     root = name[:-1] if name.endswith(("m", "M")) else name
     root = root.strip()
@@ -471,6 +480,12 @@ class MidiFile:
             events.append((0, 0, bytes([0xFF, 0x03]) + _write_varlen(len(body)) + body))
         events.append((0, 1, bytes([0xC0 | channel, inst.program & 0x7F])))
         for note in inst.notes:
+            if not 0 <= note.pitch <= 127:
+                # mirror mido's serializer error (the reference's augmentation
+                # catches exactly this to reject out-of-range transpositions,
+                # augment.py:66-69)
+                raise ValueError(
+                    f"data byte must be in range 0..127 (pitch {note.pitch})")
             events.append((note.start, 2, bytes([0x90 | channel, note.pitch, max(1, min(127, note.velocity))])))
             events.append((note.end, 2, bytes([0x80 | channel, note.pitch, 64])))
         return self._serialize_events(events)

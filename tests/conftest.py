@@ -36,13 +36,15 @@ def reference_available() -> bool:
 
 
 def add_reference_to_path():
-    """Make the reference importable for differential tests.
+    """Make the reference importable AND executable for differential tests.
 
-    The reference's package __init__ chain imports MIDI libraries that are not
-    installed here (miditoolkit, pretty_midi, parmap, music21). Inject inert
-    stub modules so the pure-Python modules we diff against (event_tokens,
-    meta, encoder_utils' token tables, model) can load. Stubbed functionality
-    is never *called* by the differential tests.
+    The reference imports MIDI libraries that are not installed here
+    (miditoolkit, pretty_midi, parmap, music21).  miditoolkit and pretty_midi
+    are provided as WORKING adapter modules backed by commu_tpu.midi.smf
+    (whose object model mirrors miditoolkit's surface), so the reference's
+    actual encode/decode/augment code paths run for real in differential
+    tests.  parmap stays an inert stub (tests call augment_data_map
+    directly), yacs a minimal CfgNode shim.
     """
     import types
 
@@ -61,32 +63,12 @@ def add_reference_to_path():
         sys.modules["yacs"] = yacs_mod
         sys.modules["yacs.config"] = yacs_config_mod
 
-    for name in ("miditoolkit", "pretty_midi", "parmap"):
-        if name not in sys.modules:
-            stub = types.ModuleType(name)
-            stub.__stub__ = True
-            if name == "miditoolkit":
-                midi_mod = types.ModuleType("miditoolkit.midi")
-                parser_mod = types.ModuleType("miditoolkit.midi.parser")
-                containers_mod = types.ModuleType("miditoolkit.midi.containers")
+    if "miditoolkit" not in sys.modules:
+        from ref_midi_adapter import install_midi_adapter
 
-                class _Unavailable:
-                    def __init__(self, *a, **k):
-                        raise RuntimeError("miditoolkit stub: not available")
+        install_midi_adapter()
 
-                for mod in (stub, parser_mod):
-                    mod.MidiFile = _Unavailable
-                for mod in (stub, containers_mod):
-                    mod.Note = _Unavailable
-                    mod.Instrument = _Unavailable
-                    mod.TempoChange = _Unavailable
-                    mod.TimeSignature = _Unavailable
-                    mod.KeySignature = _Unavailable
-                    mod.Marker = _Unavailable
-                midi_mod.parser = parser_mod
-                midi_mod.containers = containers_mod
-                stub.midi = midi_mod
-                sys.modules["miditoolkit.midi"] = midi_mod
-                sys.modules["miditoolkit.midi.parser"] = parser_mod
-                sys.modules["miditoolkit.midi.containers"] = containers_mod
-            sys.modules[name] = stub
+    if "parmap" not in sys.modules:
+        stub = types.ModuleType("parmap")
+        stub.__stub__ = True
+        sys.modules["parmap"] = stub
