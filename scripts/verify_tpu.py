@@ -1,0 +1,241 @@
+"""On-device kernel correctness gate: certifies the COMPILED (Mosaic-lowered)
+Pallas kernels against the XLA reference path on real TPU hardware.
+
+Every kernel-parity test in tests/ runs in interpreter mode on CPU; this
+script is the missing device-executed evidence (VERDICT r1 #4): Mosaic
+layout/vmem/prng bugs would pass interpreter tests and only surface as silent
+training divergence.  Checks:
+
+1. forward parity  — pallas vs xla logits + logical memory view, full-size
+   model (6L/10H/d500, reference config_helper.py:4-10), 4 steps with resets
+2. gradient parity — pallas vs xla param grads through the fused VJPs
+3. decode parity   — prefill + KV-cache decode_step vs the full forward
+4. ring_write      — the aliased slab-write kernel (input_output_aliases)
+   vs dynamic_update_slice, all block indices (ADVICE r1: the aliasing path
+   is bypassed off-TPU and was otherwise only validated by benchmarks)
+5. dropout prng    — on-device pltpu prng: deterministic per seed, actually
+   drops (~p of activations), differs across seeds
+6. bf16-vs-f32 NLL — 50-step training trajectories at the reference shape
+   agree within bf16 tolerance (math: reference model.py:280-354)
+
+Run:  python scripts/verify_tpu.py          (requires a TPU backend)
+Prints one JSON line per check and exits nonzero on any failure.
+"""
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The parity checks run the kernels in f32 (tight tolerances), which doubles
+# the per-program VMEM working set the head-group autotune assumes for bf16;
+# halve the head group so the full-size backward fits the 40 MB scoped limit.
+os.environ.setdefault("COMMU_FWD_HP", "5")
+os.environ.setdefault("COMMU_BWD_HP", "5")
+
+RESULTS = []
+
+
+def check(name, ok, **info):
+    rec = {"check": name, "ok": bool(ok), **info}
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def rel_err(a, b):
+    import numpy as np
+
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    denom = max(float(np.max(np.abs(b))), 1e-12)
+    return float(np.max(np.abs(a - b)) / denom)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"check": "backend", "ok": False,
+                          "error": f"need TPU, got {jax.default_backend()}"}))
+        sys.exit(2)
+
+    from commu_tpu.config import ModelConfig
+    from commu_tpu.models.transformer_xl import (TransformerXL, init_memory,
+                                                 logical_memory_view,
+                                                 token_nll)
+    from commu_tpu.vocab.event_tokens import PAD_ID, VOCAB_SIZE
+
+    # full-size model dims (reference config_helper.py:7-10), moderate batch
+    B, T, M = 16, 128, 1024
+    xla_cfg = ModelConfig(dropout=0.0, attention_dropout=0.0, attn_impl="xla")
+    pal_cfg = dataclasses.replace(xla_cfg, attn_impl="pallas")
+    xla_model = TransformerXL(VOCAB_SIZE, xla_cfg, dtype=jnp.float32)
+    pal_model = TransformerXL(VOCAB_SIZE, pal_cfg, dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    tokens0 = jnp.asarray(rng.randint(1, VOCAB_SIZE, size=(B, T)))
+    memory0 = init_memory(xla_cfg.num_layers, B, M, xla_cfg.units)
+    params = xla_model.init(jax.random.PRNGKey(0), tokens0, memory0)["params"]
+
+    # ---- 1. forward parity across memory states -------------------------
+    fx = jax.jit(lambda p, t, m, r: xla_model.apply(
+        {"params": p}, t, m, r))
+    fp = jax.jit(lambda p, t, m, r: pal_model.apply(
+        {"params": p}, t, m, r))
+    mem_x = init_memory(xla_cfg.num_layers, B, M, xla_cfg.units)
+    mem_p = init_memory(pal_cfg.num_layers, B, M, pal_cfg.units)
+    worst_logit = worst_mem = 0.0
+    for step in range(4):
+        t = jnp.asarray(rng.randint(1, VOCAB_SIZE, size=(B, T)))
+        reset = jnp.asarray([step == 1 and i % 3 == 0 for i in range(B)])
+        lx, mem_x = fx(params, t, mem_x, reset)
+        lp, mem_p = fp(params, t, mem_p, reset)
+        worst_logit = max(worst_logit, rel_err(lp, lx))
+        valid = int(mem_x.count)
+        lo = np.asarray(logical_memory_view(mem_p))[:, :, M - valid:]
+        lx_m = np.asarray(mem_x.hidden)[:, :, M - valid:]
+        worst_mem = max(worst_mem, rel_err(lo, lx_m))
+    check("forward_parity", worst_logit < 2e-4 and worst_mem < 2e-4,
+          max_rel_err_logits=worst_logit, max_rel_err_memory=worst_mem)
+
+    # ---- 2. gradient parity --------------------------------------------
+    targets = jnp.asarray(rng.randint(1, VOCAB_SIZE, size=(B, T)))
+    warm = jnp.asarray(rng.randint(1, VOCAB_SIZE, size=(B, T)))
+    memory = init_memory(xla_cfg.num_layers, B, M, xla_cfg.units)
+    _, memory = fx(params, warm, memory, jnp.zeros(B, bool))
+    mem_pal = init_memory(pal_cfg.num_layers, B, M, pal_cfg.units)
+    _, mem_pal = fp(params, warm, mem_pal, jnp.zeros(B, bool))
+
+    def loss_fn(model, mem):
+        def f(p):
+            logits, _ = model.apply({"params": p}, tokens0, mem)
+            nll = token_nll(logits, targets)
+            return (nll * (targets != PAD_ID)).mean()
+        return f
+
+    gx = jax.jit(jax.grad(loss_fn(xla_model, memory)))(params)
+    gp = jax.jit(jax.grad(loss_fn(pal_model, mem_pal)))(params)
+    flat_x = jax.tree_util.tree_flatten_with_path(gx)[0]
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(gp)[0])
+    worst = ("", 0.0)
+    for path, vx in flat_x:
+        e = rel_err(flat_p[path], vx)
+        if e > worst[1]:
+            worst = (jax.tree_util.keystr(path), e)
+    check("gradient_parity", worst[1] < 5e-3,
+          max_rel_err=worst[1], worst_param=worst[0])
+
+    # ---- 3. decode parity ----------------------------------------------
+    from commu_tpu.models.decode import (commit, decode_step, init_cache,
+                                         precompute_rel, prefill)
+    G, TT, PRIMER = 4, 24, 8
+    toks = jnp.asarray(rng.randint(1, VOCAB_SIZE, size=(G, TT)))
+    mem_d = init_memory(xla_cfg.num_layers, G, 0, xla_cfg.units)
+    full_logits, _ = xla_model.apply({"params": params}, toks, mem_d)
+    cache = init_cache(xla_cfg, G, capacity=TT + 2)
+    rel = precompute_rel(params, xla_cfg, max_distance=TT + 2)
+    cache = prefill(xla_model, params, xla_cfg, toks[:, :PRIMER], cache)
+    advance = jnp.ones((G,), bool)
+    worst_dec = 0.0
+    dstep = jax.jit(lambda p, tok, c: decode_step(p, xla_cfg, rel, tok, c))
+    for j in range(PRIMER, TT):
+        logits, k_self, v_self = dstep(params, toks[:, j], cache)
+        worst_dec = max(worst_dec, rel_err(logits, full_logits[:, j]))
+        cache = commit(cache, k_self, v_self, advance)
+    check("decode_parity", worst_dec < 2e-4, max_rel_err=worst_dec)
+
+    # ---- 4. ring_write aliasing kernel ---------------------------------
+    from commu_tpu.ops.layout import ring_write
+    L1, R, BB, D, TB = 3, 4, 2, 8, 128
+    buf0 = jnp.asarray(rng.randn(L1, R, BB, D, TB), jnp.float32)
+    rows = jnp.asarray(rng.randn(L1, BB, TB, D), jnp.float32)
+    ok_rw = True
+    worst_rw = 0.0
+    f_rw = jax.jit(lambda b, r, i: ring_write(b, r, i, axis=1))
+    for i in range(R):
+        got = np.asarray(f_rw(buf0, rows, jnp.int32(i)))
+        want = np.asarray(jax.lax.dynamic_update_slice(
+            buf0, jnp.expand_dims(jnp.swapaxes(rows, -1, -2), 1),
+            (jnp.int32(0), jnp.int32(i), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0))))
+        e = float(np.max(np.abs(got - want)))
+        worst_rw = max(worst_rw, e)
+        ok_rw = ok_rw and e == 0.0
+    check("ring_write_aliasing", ok_rw, max_abs_err=worst_rw)
+
+    # ---- 5. on-device dropout prng -------------------------------------
+    drop_cfg = dataclasses.replace(pal_cfg, dropout=0.3,
+                                   attention_dropout=0.1)
+    drop_model = TransformerXL(VOCAB_SIZE, drop_cfg, dtype=jnp.float32)
+    mem_dr = init_memory(drop_cfg.num_layers, B, M, drop_cfg.units)
+    fdrop = jax.jit(lambda p, t, m, key: drop_model.apply(
+        {"params": p}, t, m, deterministic=False,
+        rngs={"dropout": key}))
+    y1, _ = fdrop(params, tokens0, mem_dr, jax.random.PRNGKey(5))
+    y2, _ = fdrop(params, tokens0, mem_dr, jax.random.PRNGKey(5))
+    y3, _ = fdrop(params, tokens0, mem_dr, jax.random.PRNGKey(6))
+    det = float(np.max(np.abs(np.asarray(y1) - np.asarray(y2))))
+    varies = float(np.mean(np.asarray(y1) != np.asarray(y3)))
+    check("dropout_prng", det == 0.0 and varies > 0.5,
+          replay_err=det, cross_seed_frac_diff=varies)
+
+    # ---- 6. bf16 vs f32 50-step NLL trajectory -------------------------
+    from commu_tpu.config import (EvaluateConfig, TrainConfig, TrainingConfig)
+    from commu_tpu.parallel import make_mesh, shard_train_step
+    from commu_tpu.training.step import (create_train_state,
+                                         init_train_memory, make_train_step,
+                                         resolve_physical_chunks)
+
+    BT = 32
+    curves = {}
+    for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        cfg = TrainingConfig(
+            model=ModelConfig(),
+            train=TrainConfig(batch_size=BT, batch_chunk=1, tgt_length=T,
+                              mem_length=M),
+            evaluate=EvaluateConfig(),
+        )
+        model = TransformerXL(VOCAB_SIZE, cfg.model, dtype=dt)
+        state = create_train_state(jax.random.PRNGKey(0), model, cfg)
+        physical = resolve_physical_chunks(cfg)
+        from commu_tpu.models.transformer_xl import resolve_attn_impl
+        transposed = resolve_attn_impl(cfg.model) == "pallas"
+        step = shard_train_step(
+            make_train_step(model, cfg, physical_chunks=physical),
+            make_mesh(1), transposed=transposed)
+        memory = init_train_memory(
+            cfg.model.num_layers, BT, M, cfg.model.units, physical, dtype=dt,
+            transposed=transposed, block_len=T)
+        data_rng = np.random.RandomState(42)
+        nlls = []
+        for _ in range(50):
+            inp = data_rng.randint(1, VOCAB_SIZE, size=(BT, T)).astype(
+                np.int32)
+            # structured targets (shifted inputs) so the NLL actually falls
+            tgt = np.roll(inp, -1, axis=1).astype(np.int32)
+            reset = np.zeros(BT, bool)
+            state, memory, metrics = step(state, memory, inp, tgt, reset,
+                                          jax.random.PRNGKey(7))
+            nlls.append(float(metrics["nll_sum"]) /
+                        max(float(metrics["token_count"]), 1.0))
+        curves[dt_name] = nlls
+    final_gap = abs(curves["bf16"][-1] - curves["f32"][-1]) / curves["f32"][-1]
+    mean_gap = float(np.mean([abs(a - b) / max(b, 1e-9) for a, b in
+                              zip(curves["bf16"], curves["f32"])]))
+    decreasing = curves["bf16"][-1] < curves["bf16"][0]
+    check("bf16_vs_f32_trajectory",
+          final_gap < 0.02 and mean_gap < 0.03 and decreasing,
+          final_rel_gap=final_gap, mean_rel_gap=mean_gap,
+          f32_first=curves["f32"][0], f32_last=curves["f32"][-1],
+          bf16_first=curves["bf16"][0], bf16_last=curves["bf16"][-1])
+
+    n_fail = sum(not r["ok"] for r in RESULTS)
+    print(json.dumps({"summary": "verify_tpu", "checks": len(RESULTS),
+                      "failed": n_fail}))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
