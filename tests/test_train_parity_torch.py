@@ -149,3 +149,137 @@ def test_params_match_after_steps(corpus):
         np.testing.assert_allclose(
             ours_torch[name], ref_val, rtol=0.3, atol=STEPS * tcfg.lr,
             err_msg=f"param {name} blew apart after {STEPS} steps")
+
+
+def _structured_corpus(tmp_path, n=64, seed=0):
+    """Markov-chain event sequences: genuinely learnable, so the NLL curves
+    FALL and the long-horizon comparison tests optimization dynamics, not
+    noise-floor tracking."""
+    rng = np.random.RandomState(seed)
+    n_states = 40
+    trans = np.zeros((n_states, n_states))
+    for s in range(n_states):
+        nxt = rng.choice(n_states, size=3, replace=False)
+        trans[s, nxt] = rng.dirichlet([2.0] * 3)
+    metas, events = [], []
+    for _ in range(n):
+        length = rng.randint(60, 120)
+        s = rng.randint(n_states)
+        seq = [2 + s]
+        for _ in range(length - 1):
+            s = rng.choice(n_states, p=trans[s])
+            seq.append(2 + s)
+        metas.append(rng.randint(560, 729, size=11).astype(np.int64))
+        events.append(np.asarray(seq, dtype=np.int64))
+    d = tmp_path / "npy_structured"
+    save_corpus(d, "train", metas, events)
+    save_corpus(d, "val", metas[:8], events[:8])
+    return d
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference unavailable")
+def test_long_horizon_nll_trajectories_track(tmp_path):
+    """300-step torch-vs-jax f32 training on a structured corpus: both curves
+    must fall together and stay within tight relative windows (VERDICT r1 #5
+    — the long-horizon companion to the 6-step parity above)."""
+    add_reference_to_path()
+    import torch
+    from commu.model.model import MemTransformerLM
+
+    LONG_STEPS = 300
+    tcfg = CFG.train
+    corpus_dir = _structured_corpus(tmp_path)
+    ref_cfg = types.SimpleNamespace(
+        MODEL=types.SimpleNamespace(
+            num_layers=N_LAYER, num_heads=N_HEAD, units=D_MODEL,
+            inner_size=D_INNER, dropout=0.0, attention_dropout=0.0,
+            clamp_len=-1, same_length=False),
+        TRAIN=types.SimpleNamespace(tgt_length=tcfg.tgt_length,
+                                    mem_length=tcfg.mem_length),
+    )
+    torch.manual_seed(0)
+    ref = MemTransformerLM(ref_cfg, vocab=list(range(VOCAB_SIZE)))
+    ref.train()
+    state_np = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = flax_params_from_torch_state(state_np, CFG.model)
+
+    dataset = ComMUDataset(corpus_dir)
+    it = dataset.train_iterator(tcfg.batch_size, tcfg.tgt_length,
+                                shuffle=True, seed=11)
+    batches = [next(it) for _ in range(LONG_STEPS)]
+
+    opt = torch.optim.Adam(ref.parameters(), lr=tcfg.lr)
+    def lr_lambda(step):
+        if step == 0 and tcfg.warmup_step == 0:
+            return 1.0
+        return (max((tcfg.warmup_step ** 0.5) / (step ** 0.5),
+                    tcfg.lr_min / tcfg.lr)
+                if step > tcfg.warmup_step else step / tcfg.warmup_step)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda)
+    n_chunks = tcfg.batch_chunk
+    mems = [None] * n_chunks
+    ref_nll = []
+    for batch in batches:
+        opt.zero_grad()
+        data = torch.from_numpy(batch.inputs.T.copy()).long()
+        target = torch.from_numpy(batch.targets.T.copy()).long()
+        reset = torch.from_numpy(batch.reset.copy())
+        d_ch = torch.chunk(data, n_chunks, 1)
+        t_ch = torch.chunk(target, n_chunks, 1)
+        r_ch = torch.chunk(reset, n_chunks, 0)
+        nll_sum = 0.0
+        for i in range(n_chunks):
+            loss, mems[i] = ref(d_ch[i].contiguous(), t_ch[i].contiguous(),
+                                r_ch[i].contiguous(), mems[i])
+            n_tok = int((t_ch[i] != 0).sum())
+            loss = loss[t_ch[i] != 0].float().mean() / n_chunks
+            nll_sum += float(loss) * n_tok * n_chunks
+            loss.backward()
+        ref_nll.append(nll_sum / batch.token_count)
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), tcfg.clip)
+        opt.step()
+        sched.step()
+
+    model = TransformerXL(VOCAB_SIZE, CFG.model, dtype=jnp.float32)
+    state = create_train_state(jax.random.PRNGKey(0), model, CFG)
+    state = state.replace(params=params)
+    step = jax.jit(make_train_step(model, CFG))
+    memory = init_train_memory(N_LAYER, tcfg.batch_size, tcfg.mem_length,
+                               D_MODEL, n_chunks)
+    key = jax.random.PRNGKey(0)
+    our_nll = []
+    for batch in batches:
+        state, memory, metrics = step(state, memory, batch.inputs,
+                                      batch.targets, batch.reset, key)
+        our_nll.append(float(metrics["nll_sum"]) /
+                       float(metrics["token_count"]))
+
+    our_nll, ref_nll = np.asarray(our_nll), np.asarray(ref_nll)
+    # Reference quirk: a batch chunk whose 16-token window is entirely pad
+    # makes the mirror's loss[empty].mean() NaN (train.py:148-153 semantics).
+    # The NaN is log-only — no elements select into the backward, so grads
+    # stay finite — and our masked-sum nll has no such hazard.  Exclude those
+    # rare steps from the comparison on both sides.
+    valid = np.isfinite(ref_nll)
+    assert valid.mean() > 0.97, f"too many empty-chunk steps: {valid.sum()}"
+    assert np.isfinite(our_nll).all()
+    # both learned: the structured corpus is compressible well below the
+    # initial ~uniform NLL
+    assert our_nll[-20:].mean() < 0.55 * our_nll[:5].mean()
+    assert ref_nll[valid][-20:].mean() < 0.55 * ref_nll[valid][:5].mean()
+    # windowed curves track (independent fp noise compounds over 300 steps;
+    # the 25-step means must stay within 2%)
+    w = 25
+    masked_our = np.where(valid, our_nll, 0.0).reshape(-1, w)
+    masked_ref = np.where(valid, ref_nll, 0.0).reshape(-1, w)
+    counts = valid.reshape(-1, w).sum(axis=1)
+    ours_w = masked_our.sum(axis=1) / counts
+    ref_w = masked_ref.sum(axis=1) / counts
+    np.testing.assert_allclose(ours_w, ref_w, rtol=0.02,
+                               err_msg=f"windowed NLL diverged:\n"
+                                       f"ours={ours_w}\nref={ref_w}")
+    # final converged level within 1%
+    tail = valid[-50:]
+    assert abs(our_nll[-50:][tail].mean() - ref_nll[-50:][tail].mean()) \
+        / ref_nll[-50:][tail].mean() < 0.01
