@@ -122,8 +122,12 @@ def create_train_state(rng: jax.Array, model: TransformerXL,
     """Initialize params (all weights ~ N(0, base_init), reference
     train.py:291-342 via the module initializers) and optimizer state."""
     tokens = jnp.zeros((sample_batch, cfg.train.tgt_length), dtype=jnp.int32)
+    # init memory in the MODEL dtype: the pallas path requires memory dtype
+    # == activation dtype (a mismatch would silently copy the full ring
+    # buffer per layer, so the model raises instead of casting)
     memory = init_memory(cfg.model.num_layers, sample_batch,
-                         cfg.train.mem_length, cfg.model.units)
+                         cfg.train.mem_length, cfg.model.units,
+                         dtype=model.dtype)
     params = model.init({"params": rng}, tokens, memory)["params"]
     tx = make_optimizer(cfg, num_devices)
     return TrainState(params=params, opt_state=tx.init(params),
