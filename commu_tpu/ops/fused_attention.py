@@ -64,9 +64,13 @@ denominator is folded into the dropout select, so no separate [T, K] divide
 happens.
 
 Backward is a custom VJP that recomputes the forward in VMEM (flash-style)
-and emits dq (content path), dqr (position path), dk/dv (memory and window
-halves separately) and per-(b,h) dW_r partials (reduced over batch outside
-the kernel — XLA's reduction is faster than sequential-grid accumulation).
+and emits the FUSED q cotangent (content + position paths in one
+concatenated-contraction matmul — the bias fold lives inside the VJP
+boundary, so the separate dqr array never exists and the r_w_bias/r_r_bias
+gradients come out as two extra lanes of the dW_r output), dk/dv (memory
+and window halves separately) and per-(b,h) dW_r partials (reduced over
+batch outside the kernel — XLA's reduction is faster than sequential-grid
+accumulation).
 Attention dropout regenerates the same mask from the same per-(b,h) seed.
 
 Positional dropout: the reference drops the distance-indexed sinusoid table
@@ -241,8 +245,8 @@ def _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh):
     return k, v
 
 
-def _attn_scores(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-                 wr_ref, trig_ref, psi_ref, mask_ref, b, h, hh):
+def _attn_scores(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
+                 mask_ref, b, h, hh, k, v):
     """Score phase (MXU): masked scores s f32 [T, K] plus this head's v.
 
     The content/position biases AND the 1/sqrt(dh) scale are folded into the
@@ -254,7 +258,6 @@ def _attn_scores(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     """
     qw = qw_ref[0, hh, :, :]                         # [dh, T]
     qr = qr_ref[0, hh, :, :]                         # [dh, T]
-    k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh)
     w_r = wr_ref[h]                                  # [dh, 512] (resident)
     psi = psi_ref[:, :]                              # [512, K]  (resident)
 
@@ -289,11 +292,12 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
     return probs, e
 
 
-def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-                wr_ref, trig_ref, psi_ref, mask_ref, o_ref, e_ref=None,
-                *, t, k_len, dropout_p, train, hp):
-    b, hg = pl.program_id(0), pl.program_id(1)
-
+def _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
+              mask_ref, o_ref, e_ref, head_kv, b, hg,
+              *, t, k_len, dropout_p, train, hp):
+    """Shared forward body: software-pipelined head loop over
+    ``head_kv(hh) -> (k, v)`` (either DMA'd pre-projected halves or the
+    pre-projected memory halves or the window-only case)."""
     def finish(hh, h, s, v):
         probs, e = _attn_softmax(scalar_ref, s, b, h, t=t, k_len=k_len,
                                  dropout_p=dropout_p, train=train)
@@ -315,9 +319,9 @@ def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     pend = []
     for hh in range(hp):
         h = hg * hp + hh
-        s, v = _attn_scores(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref,
-                            vm_ref, vw_ref, wr_ref, trig_ref, psi_ref,
-                            mask_ref, b, h, hh)
+        k, v = head_kv(hh)
+        s, v = _attn_scores(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref,
+                            psi_ref, mask_ref, b, h, hh, k, v)
         pend.append((hh, h, s, v))
         if len(pend) > depth:
             finish(*pend.pop(0))
@@ -325,10 +329,21 @@ def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
         finish(*st)
 
 
+def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
+                wr_ref, trig_ref, psi_ref, mask_ref, o_ref, e_ref=None,
+                *, t, k_len, dropout_p, train, hp):
+    b, hg = pl.program_id(0), pl.program_id(1)
+    _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
+              mask_ref, o_ref, e_ref,
+              lambda hh: _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh),
+              b, hg, t=t, k_len=k_len, dropout_p=dropout_p, train=train,
+              hp=hp)
+
+
 def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                 wr_ref, trig_ref, psi_ref, mask_ref, do_ref, e_ref,
-                dq_ref, dqr_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref,
-                *, t, k_len, dropout_p, train, hp):
+                dq_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref,
+                *, t, k_len, dropout_p, train, hp, scale):
     b, hg = pl.program_id(0), pl.program_id(1)
     m_cap = k_len - t
 
@@ -339,16 +354,16 @@ def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                             train=train)
 
     def finish(hh, h, a):
-        dq_ac, dqr, dk, dv, dwr = _bwd_stage_b(
-            wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p)
-        dq_ref[0, hh, :, :] = dq_ac.astype(dq_ref.dtype)
-        dqr_ref[0, hh, :, :] = dqr.astype(dqr_ref.dtype)
+        dq, dk, dv, dwr_wide = _bwd_stage_b(
+            wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p,
+            scale=scale)
+        dq_ref[0, hh, :, :] = dq.astype(dq_ref.dtype)
         if dkm_ref is not None:
             dkm_ref[0, hh, :, :] = dk[:, :m_cap].astype(dkm_ref.dtype)
             dvm_ref[0, hh, :, :] = dv[:, :m_cap].astype(dvm_ref.dtype)
         dkw_ref[0, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
         dvw_ref[0, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
-        dwr_ref[0, hh, :, :] = dwr.astype(dwr_ref.dtype)
+        dwr_ref[0, hh, :, :] = dwr_wide.astype(dwr_ref.dtype)
 
     _bwd_pipeline(hp, hg, stage_a, finish)
 
@@ -387,9 +402,23 @@ def _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
 
 
 def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
-                 *, dropout_p):
+                 *, dropout_p, scale):
     """Backward stage B: softmax backward (VPU) and the remaining matmuls
-    -> (dq_ac, dqr, dk [dh,K], dv [dh,K], dwr)."""
+    -> (dq [dh,T], dk [dh,K], dv [dh,K], dwr_wide [dh, 512+128]).
+
+    The content (dq_ac = k ds^T) and position (dqr = w_r du^T) query
+    cotangents are computed as ONE concatenated-contraction matmul
+    [k | w_r] @ [ds | du]^T: their sum IS the q cotangent (qw and qr both
+    derive from q), which removes one M=dh matmul per head plus the whole
+    [B, H, dh, T] dqr array from HBM (~66 MB of traffic per layer per step
+    at the training shape).  The r_w_bias / r_r_bias gradients — the only
+    consumers that needed dq_ac and dqr separately — are the T-sums of
+    those products, computed here as cheap VPU reductions
+    (sum_T dq_ac = k @ (sum_T ds)) and stashed in two extra lanes of the
+    dwr output (columns fdim and fdim+1 of the widened [dh, fdim+128]
+    block).  ``scale`` (the 1/sqrt(dh) fold, a compile-time constant) is
+    applied in-kernel so no separate elementwise pass rescales dq outside.
+    """
     qw, qr, k, dv, dp, p_clean, keep = stage_a
     # dropout backward FIRST (d dropout(p) -> d p is the same keep/scale
     # mask), then the softmax backward on the CLEAN probabilities —
@@ -400,8 +429,6 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
     ds = p_clean * (dp - jnp.sum(dp * p_clean, axis=1, keepdims=True))  # [T,K]
 
     ds_c = ds.astype(k.dtype)
-    dq_ac = jax.lax.dot_general(k, ds_c, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [dh,T]
     dk = jax.lax.dot_general(qw, ds_c, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)     # [dh,K]
 
@@ -410,11 +437,27 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
                                preferred_element_type=jnp.float32)   # [T,512]
     du = _trig_combine_bwd(dphi, trig_ref[:, :]).astype(k.dtype)     # [T,512]
     w_r = wr_ref[h]
-    dqr = jax.lax.dot_general(w_r, du, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)    # [dh,T]
+    # fused content+position query cotangent: one [dh, K+512] x [T, K+512]
+    # contraction instead of two M=dh matmuls
+    kw_cat = jnp.concatenate([k, w_r], axis=1)                  # [dh, K+512]
+    dsu = jnp.concatenate([ds_c, du], axis=1)                   # [T, K+512]
+    dq = jax.lax.dot_general(kw_cat, dsu, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
     dwr = jax.lax.dot_general(qr, du, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)    # [dh,512]
-    return dq_ac, dqr, dk, dv, dwr
+
+    # bias gradients: drwb = scale * sum_T (k ds^T) = scale * k @ sum_T(ds);
+    # drrb likewise over du — [dh]-sized VPU reductions, stashed into two
+    # extra lanes of the dwr output
+    s_ds = jnp.sum(ds, axis=0, keepdims=True)                   # [1, K] f32
+    s_du = jnp.sum(du.astype(jnp.float32), axis=0, keepdims=True)  # [1, 512]
+    drwb = jnp.sum(k.astype(jnp.float32) * s_ds, axis=1,
+                   keepdims=True) * scale                       # [dh, 1]
+    drrb = jnp.sum(w_r.astype(jnp.float32) * s_du, axis=1,
+                   keepdims=True) * scale
+    pad = jnp.zeros((dwr.shape[0], 128 - 2), jnp.float32)
+    dwr_wide = jnp.concatenate([dwr, drwb, drrb, pad], axis=1)  # [dh, f+128]
+    return dq, dk, dv, dwr_wide
 
 
 def _pipe_depth() -> int:
@@ -450,22 +493,32 @@ def _scalars(dropout_seed, reset, batch):
     ])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def fused_core(qw, qr, k_win, v_win, w_r, trig_a, psi, mask,
-               scalars, dropout_p, train):
+def _fold_bias(q, r_w_bias, r_r_bias, scale):
+    """(qw, qr) = ((q + bias) * scale) — the content/position query streams.
+    Computed INSIDE the custom-VJP boundary: the backward kernel emits the
+    fused q cotangent (dq_ac + dqr, one matmul) plus the tiny bias gradients
+    directly, so the separate [B, H, dh, T] dqr array never exists."""
+    qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
+    qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
+    return qw, qr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def fused_core(q, r_w_bias, r_r_bias, k_win, v_win, w_r, trig_a, psi, mask,
+               scalars, dropout_p, train, scale):
     """Fused attention over kernel-layout operands, NO XL memory (the
     memory-less special case — priming a fresh sequence; attention over a
     nonempty memory goes through ``fused_core_mem``, whose backward
     accumulates the memory-half weight gradients in-kernel).
 
-    qw, qr: [B, H, dh, T] — query streams with the content/position biases
-    and the 1/sqrt(dh) scale already folded in (autodiff distributes their
-    cotangents back to q and the biases); k_win, v_win: [B, H, dh, T]; w_r:
+    q: [B, H, dh, T] raw query projection; r_w_bias / r_r_bias: [H, dh]
+    content/position biases (folded into the two query streams inside, with
+    the 1/sqrt(dh) ``scale``); k_win, v_win: [B, H, dh, T]; w_r:
     [H, dh, 512] packed position projection (``pack_r_kernel``); trig_a:
     [T, 512] per-query trig factors (``query_trig_table``); psi: [512, T]
     per-key trig basis (``key_trig_basis``); mask: [2, T, T] additive bias
     from ``build_mask_bias``; scalars: int32 [1 + B] =
-    [dropout_seed, reset_rows...].  Returns [B, H, dh, T] in qw's dtype.
+    [dropout_seed, reset_rows...].  Returns [B, H, dh, T] in q's dtype.
 
     Upstream projections should produce these layouts DIRECTLY via
     reshaped-kernel einsums (see RelMultiHeadAttention) — they are the
@@ -473,6 +526,7 @@ def fused_core(qw, qr, k_win, v_win, w_r, trig_a, psi, mask,
     the kernel DMAs ever touch the 50->128 lane padding a head-minor layout
     pays.
     """
+    qw, qr = _fold_bias(q, r_w_bias, r_r_bias, scale)
     out, _ = _fused_fwd(qw, qr, None, k_win, None, v_win, w_r, trig_a, psi,
                         mask, scalars, dropout_p, train, save_e=False)
     return out
@@ -495,11 +549,11 @@ def _bwd_mem_kernel(kernel_fn, has_mem):
         return kernel_fn
 
     def wrapped(scalar_ref, qw_ref, qr_ref, kw_ref, vw_ref, wr_ref, trig_ref,
-                psi_ref, mask_ref, do_ref, e_ref, dq_ref, dqr_ref, dkw_ref,
+                psi_ref, mask_ref, do_ref, e_ref, dq_ref, dkw_ref,
                 dvw_ref, dwr_ref):
         return kernel_fn(scalar_ref, qw_ref, qr_ref, None, kw_ref, None,
                          vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, do_ref,
-                         e_ref, dq_ref, dqr_ref, None, dkw_ref, None, dvw_ref,
+                         e_ref, dq_ref, None, dkw_ref, None, dvw_ref,
                          dwr_ref)
     return wrapped
 
@@ -555,6 +609,10 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
     fdim = w_r.shape[2]
     bh_f = pl.BlockSpec((1, hp, dh, fdim), lambda b, h, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
+    # "fw": the widened dwr block carrying the r_w_bias / r_r_bias gradient
+    # columns at [.., fdim] and [.., fdim+1]
+    bh_fw = pl.BlockSpec((1, hp, dh, fdim + 128), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
 
     def resident(shape):
         # whole-table block with a CONSTANT index: fetched once, then kept in
@@ -581,8 +639,8 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
             out_shape.append(jax.ShapeDtypeStruct(
                 (batch, heads, t, m_cap + t), dtype))
             continue
-        n = {"t": t, "f": fdim}[kind]
-        spec = {"t": bh_t, "f": bh_f}[kind]
+        n = {"t": t, "f": fdim, "fw": fdim + 128}[kind]
+        spec = {"t": bh_t, "f": bh_f, "fw": bh_fw}[kind]
         out_specs.append(spec)
         out_shape.append(jax.ShapeDtypeStruct((batch, heads, dh, n), dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -618,34 +676,49 @@ def _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
                  scalars, e)
 
 
-def _fused_bwd(dropout_p, train, residuals, g):
+def _fused_core_fwd(q, r_w_bias, r_r_bias, k_win, v_win, w_r, trig_a, psi,
+                    mask, scalars, dropout_p, train, scale):
+    qw, qr = _fold_bias(q, r_w_bias, r_r_bias, scale)
+    out, res = _fused_fwd(qw, qr, None, k_win, None, v_win, w_r, trig_a, psi,
+                          mask, scalars, dropout_p, train, save_e=True)
+    return out, (res, r_w_bias, r_r_bias)
+
+
+def _split_dwr(dwr_wide, fdim, rwb, rrb):
+    """Unpack the widened dwr block: [.., :fdim] = dW_r, column fdim =
+    d r_w_bias, column fdim+1 = d r_r_bias (already scale-folded)."""
+    dwr = dwr_wide[..., :fdim]
+    drwb = dwr_wide[..., fdim].astype(rwb.dtype)
+    drrb = dwr_wide[..., fdim + 1].astype(rrb.dtype)
+    return dwr, drwb, drrb
+
+
+def _fused_bwd(dropout_p, train, scale, residuals, g):
     (qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
-     scalars, e) = residuals
+     scalars, e), rwb, rrb = residuals
     assert k_mem is None, "memory attention differentiates via fused_core_mem"
     t = qw.shape[3]
     dtype = qw.dtype
+    fdim = w_r.shape[2]
     bwd_hp = heads_per_program(qw.shape[1], "bwd")
     kernel = _bwd_mem_kernel(functools.partial(
         _bwd_kernel, t=t, k_len=t, dropout_p=dropout_p, train=train,
-        hp=bwd_hp), False)
-    dqw, dqr, dkw, dvw, dwr_bh = _fused_call(
+        hp=bwd_hp, scale=scale), False)
+    dq, dkw, dvw, dwr_bh = _fused_call(
         kernel,
-        [("t", dtype), ("t", dtype), ("t", dtype), ("t", dtype),
-         ("f", dtype)],
+        [("t", dtype), ("t", dtype), ("t", dtype), ("fw", jnp.float32)],
         qw, qr, None, k_win, None, v_win, w_r, trig_a, psi, mask, scalars,
         extra=(("t", g.astype(dtype)), ("e", e)), hp=bwd_hp)
-    dwr = dwr_bh.sum(axis=0, dtype=jnp.float32).astype(w_r.dtype)
+    dwr_wide = dwr_bh.sum(axis=0, dtype=jnp.float32)
+    dwr, drwb, drrb = _split_dwr(dwr_wide, fdim, rwb, rrb)
     # trig_a/psi/mask are pure functions of step counters (no parameters
     # upstream): symbolic-zero cotangents, DCE'd by XLA
-    return (dqw, dqr, dkw, dvw, dwr, jnp.zeros_like(trig_a),
-            jnp.zeros_like(psi), jnp.zeros_like(mask), None)
+    return (dq, drwb, drrb, dkw, dvw, dwr.astype(w_r.dtype),
+            jnp.zeros_like(trig_a), jnp.zeros_like(psi),
+            jnp.zeros_like(mask), None)
 
 
-fused_core.defvjp(
-    lambda qw, qr, kw, vw, wr, ta, ps, mask, s, dp, tr: _fused_fwd(
-        qw, qr, None, kw, None, vw, wr, ta, ps, mask, s, dp, tr, save_e=True),
-    _fused_bwd,
-)
+fused_core.defvjp(_fused_core_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -655,8 +728,8 @@ fused_core.defvjp(
 def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
                     vw_ref, mem_ref, wr_ref, trig_ref, psi_ref, mask_ref,
                     do_ref, e_ref,
-                    dq_ref, dqr_ref, dkw_ref, dvw_ref, dwk_ref, dwv_ref,
-                    dwr_ref, *, t, k_len, dropout_p, train, hp):
+                    dq_ref, dkw_ref, dvw_ref, dwk_ref, dwv_ref,
+                    dwr_ref, *, t, k_len, dropout_p, train, hp, scale):
     """Backward with the memory-half weight gradients accumulated IN-KERNEL.
 
     Grid is (H/hp, B) — batch INNERMOST — so the dWk/dWv/dWr accumulator
@@ -681,15 +754,15 @@ def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
                             train=train)
 
     def finish(hh, h, a):
-        dq_ac, dqr, dk, dv, dwr = _bwd_stage_b(
-            wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p)
-        dq_ref[0, hh, :, :] = dq_ac.astype(dq_ref.dtype)
-        dqr_ref[0, hh, :, :] = dqr.astype(dqr_ref.dtype)
+        dq, dk, dv, dwr_wide = _bwd_stage_b(
+            wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p,
+            scale=scale)
+        dq_ref[0, hh, :, :] = dq.astype(dq_ref.dtype)
         dkw_ref[0, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
         dvw_ref[0, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
         dk_ms.append(dk[:, :m_cap].astype(mem_ref.dtype))        # [dh, M]
         dv_ms.append(dv[:, :m_cap].astype(mem_ref.dtype))
-        dwrs.append(dwr)
+        dwrs.append(dwr_wide)
 
     _bwd_pipeline(hp, hg, stage_a, finish)
     # dW_k[group] += dk_mem @ mem^T over all hp heads at once, one matmul
@@ -713,7 +786,7 @@ def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
     dh, d_model = dk_ms[0].shape[0], mem_ref.shape[3]
     dwk = dwk.reshape(hp, dh, d_model)
     dwv = dwv.reshape(hp, dh, d_model)
-    dwr_g = jnp.stack(dwrs, axis=0)                              # [hp,dh,512]
+    dwr_g = jnp.stack(dwrs, axis=0)                          # [hp,dh,512+128]
 
     @pl.when(first)
     def _():
@@ -767,16 +840,16 @@ def _bwd_call_mem(kernel_fn, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r,
     in_specs = [bh_t, bh_t, bh_m, bh_t, bh_m, bh_t, mem_spec,
                 resident(w_r.shape), resident(trig_a.shape),
                 resident(psi.shape), resident(mask.shape), bh_t, e_blk]
-    out_specs = [bh_t, bh_t, bh_t, bh_t, acc(d_model), acc(d_model),
-                 acc(fdim)]
+    out_specs = [bh_t, bh_t, bh_t, acc(d_model), acc(d_model),
+                 acc(fdim + 128)]
     out_shape = [
-        jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dqw
-        jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dqr
+        jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dq (fused)
         jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dkw
         jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),   # dvw
         jax.ShapeDtypeStruct((heads, dh, d_model), jnp.float32),  # dWk
         jax.ShapeDtypeStruct((heads, dh, d_model), jnp.float32),  # dWv
-        jax.ShapeDtypeStruct((heads, dh, fdim), jnp.float32),     # dWr
+        # dWr + the two bias-gradient columns (widened block)
+        jax.ShapeDtypeStruct((heads, dh, fdim + 128), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(heads // hp, batch),
@@ -838,14 +911,16 @@ def project_mem_kv(mem, layer_idx, wk3, wv3):
     )(mem, wk, wv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
-def fused_core_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
-                   mask, scalars, dropout_p, train, layer_idx):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+def fused_core_mem(q, r_w_bias, r_r_bias, mem, wk3, wv3, k_win, v_win, w_r,
+                   trig_a, psi, mask, scalars,
+                   dropout_p, train, layer_idx, scale):
     """fused_core with the memory-half k/v projections INSIDE the VJP
     boundary: mem is the FULL blocked D-major ring buffer [L+1, R, B, D, Tb]
     (the kernel block-indexes layer ``layer_idx`` so no per-layer slice
     materializes),
-    wk3/wv3 [D, H, dh] slices of the kv projection.
+    wk3/wv3 [D, H, dh] slices of the kv projection.  The content/position
+    bias fold (qw/qr) happens inside too — see ``fused_core``.
 
     The XL memory is stop-gradient by construction (the reference detaches
     stored hiddens, model.py:507-538; the train step stores
@@ -854,38 +929,43 @@ def fused_core_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
     kernel accumulates in-kernel (``_bwd_kernel_mem``).  The returned mem
     cotangent is symbolic-zero (DCE'd: nothing differentiates w.r.t. the
     carried memory buffer)."""
+    qw, qr = _fold_bias(q, r_w_bias, r_r_bias, scale)
     k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
     out, _ = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
                         mask, scalars, dropout_p, train, save_e=False)
     return out
 
 
-def _fused_fwd_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r, trig_a, psi,
-                   mask, scalars, dropout_p, train, layer_idx):
+def _fused_fwd_mem(q, r_w_bias, r_r_bias, mem, wk3, wv3, k_win, v_win, w_r,
+                   trig_a, psi, mask, scalars,
+                   dropout_p, train, layer_idx, scale):
+    qw, qr = _fold_bias(q, r_w_bias, r_r_bias, scale)
     k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
     out, res = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a,
                           psi, mask, scalars, dropout_p, train, save_e=True)
     e = res[-1]
-    return out, (qw, qr, mem, wk3, wv3, k_mem, k_win, v_mem, v_win, w_r,
-                 trig_a, psi, mask, scalars, e)
+    return out, (qw, qr, r_w_bias, r_r_bias, mem, wk3, wv3, k_mem, k_win,
+                 v_mem, v_win, w_r, trig_a, psi, mask, scalars, e)
 
 
-def _fused_bwd_mem(dropout_p, train, layer_idx, residuals, g):
-    (qw, qr, mem, wk3, wv3, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
-     mask, scalars, e) = residuals
+def _fused_bwd_mem(dropout_p, train, layer_idx, scale, residuals, g):
+    (qw, qr, rwb, rrb, mem, wk3, wv3, k_mem, k_win, v_mem, v_win, w_r,
+     trig_a, psi, mask, scalars, e) = residuals
     t = qw.shape[3]
     m_cap = _mem_cap(k_mem)
     dtype = qw.dtype
+    fdim = w_r.shape[2]
     kernel = functools.partial(
         _bwd_kernel_mem, t=t, k_len=m_cap + t, dropout_p=dropout_p,
-        train=train, hp=heads_per_program(qw.shape[1], "bwd"))
-    dqw, dqr, dkw, dvw, dwk, dwv, dwr = _bwd_call_mem(
+        train=train, hp=heads_per_program(qw.shape[1], "bwd"), scale=scale)
+    dq, dkw, dvw, dwk, dwv, dwr_wide = _bwd_call_mem(
         kernel, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a, psi,
         mask, scalars, g.astype(dtype), e, layer_idx)
     # kernel emits [H, dh, D] f32; the projection slice wants [D, H, dh]
     dwk3 = jnp.transpose(dwk, (2, 0, 1)).astype(wk3.dtype)
     dwv3 = jnp.transpose(dwv, (2, 0, 1)).astype(wv3.dtype)
-    return (dqw, dqr, jnp.zeros_like(mem), dwk3, dwv3, dkw, dvw,
+    dwr, drwb, drrb = _split_dwr(dwr_wide, fdim, rwb, rrb)
+    return (dq, drwb, drrb, jnp.zeros_like(mem), dwk3, dwv3, dkw, dvw,
             dwr.astype(w_r.dtype), jnp.zeros_like(trig_a),
             jnp.zeros_like(psi), jnp.zeros_like(mask), None)
 
@@ -905,15 +985,13 @@ def attention(q, k_win, v_win, w_r, psi, r_w_bias, r_r_bias,
     Returns [B, H, dh, T].
     """
     t = q.shape[3]
-    qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
-    qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
     trig_a = query_trig_table(t, 0, d_model, dtype=q.dtype)
     mask = build_mask_bias(t, 0, jnp.zeros((), jnp.int32),
                            jnp.zeros((), jnp.int32), same_length)
     scalars = _scalars(dropout_seed, reset, q.shape[0])
-    return fused_core(qw, qr, k_win, v_win, w_r,
+    return fused_core(q, r_w_bias, r_r_bias, k_win, v_win, w_r,
                       trig_a, psi.astype(q.dtype), mask, scalars,
-                      dropout_p, train)
+                      dropout_p, train, float(scale))
 
 
 def attention_mem(q, mem, layer_idx, wk3, wv3, k_win, v_win, w_r, psi,
@@ -929,11 +1007,9 @@ def attention_mem(q, mem, layer_idx, wk3, wv3, k_win, v_win, w_r, psi,
     cotangents.  Requires a nonempty memory."""
     t = q.shape[3]
     m_cap = mem.shape[1] * mem.shape[4]
-    qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
-    qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
     trig_a = query_trig_table(t, m_cap, d_model, dtype=q.dtype)
     mask = build_mask_bias(t, m_cap, mem_count, mem_head, same_length)
     scalars = _scalars(dropout_seed, reset, q.shape[0])
-    return fused_core_mem(qw, qr, mem, wk3, wv3, k_win, v_win, w_r,
-                          trig_a, psi.astype(q.dtype), mask, scalars,
-                          dropout_p, train, layer_idx)
+    return fused_core_mem(q, r_w_bias, r_r_bias, mem, wk3, wv3, k_win, v_win,
+                          w_r, trig_a, psi.astype(q.dtype), mask, scalars,
+                          dropout_p, train, layer_idx, float(scale))

@@ -38,6 +38,61 @@ CFG = TrainingConfig(
 STEPS = 6
 
 
+def _reference_weights_init(model, base_init=0.01, embed_init=0.01):
+    """Mirror of the reference's weights_init pass (train.py:291-342,434).
+
+    REQUIRED for determinism, not just fidelity: the reference model's
+    ``_create_params`` allocates r_w_bias/r_r_bias with ``torch.Tensor(...)``
+    — UNINITIALIZED memory (model.py:489-492).  Without this pass the tests
+    inherit per-process allocator garbage in those biases (torch.manual_seed
+    does not help), which made the long-horizon comparison flaky."""
+    import torch.nn as nn
+
+    def init_weight(w):
+        nn.init.normal_(w, 0.0, base_init)
+
+    def init_bias(b):
+        nn.init.constant_(b, 0.0)
+
+    def fn(m):
+        cn = m.__class__.__name__
+        if cn.find("Linear") != -1:
+            if hasattr(m, "weight") and m.weight is not None:
+                init_weight(m.weight)
+            if hasattr(m, "bias") and m.bias is not None:
+                init_bias(m.bias)
+        elif cn.find("AdaptiveEmbedding") != -1:
+            if hasattr(m, "emb_projs"):
+                for p in m.emb_projs:
+                    if p is not None:
+                        nn.init.normal_(p, 0.0, embed_init)
+        elif cn.find("Embedding") != -1:
+            if hasattr(m, "weight"):
+                init_weight(m.weight)
+        elif cn.find("ProjectedAdaptiveLogSoftmax") != -1:
+            if getattr(m, "cluster_weight", None) is not None:
+                init_weight(m.cluster_weight)
+            if getattr(m, "cluster_bias", None) is not None:
+                init_bias(m.cluster_bias)
+            if hasattr(m, "out_projs"):
+                for p in m.out_projs:
+                    if p is not None:
+                        nn.init.normal_(p, 0.0, embed_init)
+        elif cn.find("LayerNorm") != -1:
+            if hasattr(m, "weight"):
+                nn.init.normal_(m.weight, 1.0, base_init)
+            if hasattr(m, "bias") and m.bias is not None:
+                init_bias(m.bias)
+        elif cn.find("TransformerLM") != -1:
+            for name in ("r_emb", "r_w_bias", "r_r_bias"):
+                if hasattr(m, name):
+                    init_weight(getattr(m, name))
+            if hasattr(m, "r_bias"):
+                init_bias(m.r_bias)
+
+    model.apply(fn)
+
+
 @pytest.fixture()
 def corpus(tmp_path):
     rng = np.random.RandomState(0)
@@ -69,6 +124,7 @@ def test_params_match_after_steps(corpus):
     )
     torch.manual_seed(0)
     ref = MemTransformerLM(ref_cfg, vocab=list(range(VOCAB_SIZE)))
+    _reference_weights_init(ref)  # train.py:434 (also kills uninit garbage)
     ref.train()
 
     # identical starting weights
@@ -200,6 +256,7 @@ def test_long_horizon_nll_trajectories_track(tmp_path):
     )
     torch.manual_seed(0)
     ref = MemTransformerLM(ref_cfg, vocab=list(range(VOCAB_SIZE)))
+    _reference_weights_init(ref)  # train.py:434 (also kills uninit garbage)
     ref.train()
     state_np = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     params = flax_params_from_torch_state(state_np, CFG.model)
