@@ -103,6 +103,57 @@ def _chord_scaffold_tokens(
     return times, tokens
 
 
+class _NoteAnalysis:
+    """Vectorized per-note binning shared by the token and event outputs."""
+
+    __slots__ = ("starts", "ends", "pitches", "velocities", "position_idx",
+                 "velocity_idx", "duration_idx", "duration_bins",
+                 "ticks_per_bar", "beats_per_bar", "num_measures",
+                 "is_incomplete_measure", "chord_progression")
+
+
+def _analyze_notes(midi, sample_info) -> _NoteAnalysis:
+    if not isinstance(midi, MidiFile):
+        midi = MidiFile(midi)
+
+    a = _NoteAnalysis()
+    a.chord_progression = sample_info["chord_progressions"]
+    a.num_measures = math.ceil(sample_info["num_measures"])
+    numerator, denominator = (int(x) for x in sample_info["time_signature"].split("/"))
+    a.is_incomplete_measure = bool(sample_info["is_incomplete_measure"])
+
+    beats_per_bar_frac = numerator / denominator * 4
+    a.ticks_per_bar = int(midi.ticks_per_beat * beats_per_bar_frac)
+    a.beats_per_bar = int(a.ticks_per_bar / midi.ticks_per_beat)
+    a.duration_bins = _duration_bins(a.ticks_per_bar)
+
+    notes = midi.instruments[0].notes if midi.instruments else []
+    if not notes:
+        raise UnprocessableMidiError("no notes in first instrument")
+    # reference order: sort by (start, pitch); grouping by bar then preserves it
+    order = sorted(range(len(notes)), key=lambda i: (notes[i].start, notes[i].pitch))
+    a.starts = np.array([notes[i].start for i in order], dtype=np.int64)
+    a.ends = np.array([notes[i].end for i in order], dtype=np.int64)
+    a.pitches = np.array([notes[i].pitch for i in order], dtype=np.int64)
+    a.velocities = np.array([notes[i].velocity for i in order], dtype=np.int64)
+
+    # position binning: per note, nearest of the 128 in-bar grid flags
+    bar_index = a.starts // a.ticks_per_bar
+    rel = (a.starts - bar_index * a.ticks_per_bar).astype(np.float64)
+    step = a.ticks_per_bar / DEFAULT_POSITION_RESOLUTION
+    flags = np.arange(DEFAULT_POSITION_RESOLUTION, dtype=np.float64) * step
+    a.position_idx = np.argmin(np.abs(rel[:, None] - flags[None, :]), axis=1)
+
+    # velocity binning
+    a.velocity_idx = np.searchsorted(VELOCITY_BINS, a.velocities, side="right") - 1
+
+    # duration binning
+    durations = (a.ends - a.starts).astype(np.float64)
+    a.duration_idx = np.argmin(
+        np.abs(durations[:, None] - a.duration_bins[None, :].astype(np.float64)), axis=1)
+    return a
+
+
 def encode_midi_to_tokens(
     midi: Union[str, Path, MidiFile],
     sample_info: Dict,
@@ -112,45 +163,15 @@ def encode_midi_to_tokens(
     Vectorized equivalent of the reference's extract_events + word mapping
     (encoder.py:21-69); identical output ids.
     """
-    if not isinstance(midi, MidiFile):
-        midi = MidiFile(midi)
-
-    chord_progression = sample_info["chord_progressions"]
-    num_measures = math.ceil(sample_info["num_measures"])
-    numerator, denominator = (int(x) for x in sample_info["time_signature"].split("/"))
-    is_incomplete_measure = bool(sample_info["is_incomplete_measure"])
-
-    beats_per_bar_frac = numerator / denominator * 4
-    ticks_per_bar = int(midi.ticks_per_beat * beats_per_bar_frac)
-    beats_per_bar = int(ticks_per_bar / midi.ticks_per_beat)
-    duration_bins = _duration_bins(ticks_per_bar)
-
-    if not chord_progression or not chord_progression[0]:
+    if not sample_info["chord_progressions"] or not sample_info["chord_progressions"][0]:
         raise UnprocessableMidiError("empty chord progression")
-
-    notes = midi.instruments[0].notes if midi.instruments else []
-    if not notes:
-        raise UnprocessableMidiError("no notes in first instrument")
-    # reference order: sort by (start, pitch); grouping by bar then preserves it
-    order = sorted(range(len(notes)), key=lambda i: (notes[i].start, notes[i].pitch))
-    starts = np.array([notes[i].start for i in order], dtype=np.int64)
-    ends = np.array([notes[i].end for i in order], dtype=np.int64)
-    pitches = np.array([notes[i].pitch for i in order], dtype=np.int64)
-    velocities = np.array([notes[i].velocity for i in order], dtype=np.int64)
-
-    # position binning: per note, nearest of the 128 in-bar grid flags
-    bar_index = starts // ticks_per_bar
-    rel = (starts - bar_index * ticks_per_bar).astype(np.float64)
-    step = ticks_per_bar / DEFAULT_POSITION_RESOLUTION
-    flags = np.arange(DEFAULT_POSITION_RESOLUTION, dtype=np.float64) * step
-    position_idx = np.argmin(np.abs(rel[:, None] - flags[None, :]), axis=1)
-
-    # velocity binning
-    velocity_idx = np.searchsorted(VELOCITY_BINS, velocities, side="right") - 1
-
-    # duration binning
-    durations = (ends - starts).astype(np.float64)
-    duration_idx = np.argmin(np.abs(durations[:, None] - duration_bins[None, :].astype(np.float64)), axis=1)
+    a = _analyze_notes(midi, sample_info)
+    (chord_progression, num_measures, is_incomplete_measure, ticks_per_bar,
+     beats_per_bar) = (a.chord_progression, a.num_measures,
+                       a.is_incomplete_measure, a.ticks_per_bar,
+                       a.beats_per_bar)
+    starts, pitches, velocity_idx, position_idx, duration_idx = (
+        a.starts, a.pitches, a.velocity_idx, a.position_idx, a.duration_idx)
 
     position_tok = _POSITION + position_idx
     pitch_tok = _PITCH + pitches
@@ -177,6 +198,93 @@ def encode_midi_to_tokens(
     merged = all_tokens[np.argsort(all_times, kind="stable")]
 
     return np.append(merged, _EOS)
+
+
+class Event:
+    """REMI event object, field-identical to the reference's Event
+    (encoder_utils.py:34-44) for the ``for_cp=True`` output mode."""
+
+    __slots__ = ("name", "time", "value", "text")
+
+    def __init__(self, name, time, value, text):
+        self.name = name
+        self.time = time
+        self.value = value
+        self.text = text
+
+    def __repr__(self):
+        return "Event(name={}, time={}, value={}, text={})".format(
+            self.name, self.time, self.value, self.text)
+
+    def __eq__(self, other):
+        return (self.name, self.time, self.value, self.text) == (
+            getattr(other, "name", None), getattr(other, "time", None),
+            getattr(other, "value", None), getattr(other, "text", None))
+
+
+def encode_midi_to_events(
+    midi: Union[str, Path, MidiFile],
+    sample_info: Dict,
+):
+    """MIDI file -> REMI Event-object stream: the reference's
+    ``encode(..., for_cp=True)`` mode (encoder.py:48-49), which returns the
+    events BEFORE word mapping — raw bin indices (velocity may be the OOV -1)
+    and no OOV chord dropping.  Returns None for an empty chord progression
+    (extract_events, encoder_utils.py:195-196)."""
+    chord_progression = sample_info["chord_progressions"]
+    if not chord_progression or not chord_progression[0]:
+        return None
+    a = _analyze_notes(midi, sample_info)
+
+    note_events = []
+    for i in range(len(a.starts)):
+        t = int(a.starts[i])
+        dur = int(a.ends[i]) - t
+        v_idx = int(a.velocity_idx[i])
+        d_idx = int(a.duration_idx[i])
+        note_events.append(Event(
+            "Position", t,
+            "{}/{}".format(int(a.position_idx[i]) + 1, DEFAULT_POSITION_RESOLUTION),
+            "{}".format(t)))
+        # OOV velocity keeps index -1; its text bin is DEFAULT_VELOCITY_BINS[-1]
+        # (the reference's negative indexing, encoder_utils.py:268-277)
+        note_events.append(Event(
+            "Note Velocity", t, v_idx,
+            "{}/{}".format(int(a.velocities[i]), int(VELOCITY_BINS[v_idx]))))
+        note_events.append(Event(
+            "Note On", t, int(a.pitches[i]), "{}".format(int(a.pitches[i]))))
+        note_events.append(Event(
+            "Note Duration", t, d_idx,
+            "{}/{}".format(dur, int(a.duration_bins[d_idx]))))
+
+    # chord/bar scaffold (insert_chord_on_event, encoder_utils.py:315-354);
+    # unlike the token path, events keep OOV chords
+    chord_idx_lst, chords = detect_chord(chord_progression[0], a.beats_per_bar)
+    start_time = a.ticks_per_bar * int(a.is_incomplete_measure)
+    chord_events = []
+    head = 0
+    for i in range(a.num_measures):
+        chord_events.append(
+            Event("Bar", i * a.ticks_per_bar, None, "{}".format(i + 1)))
+        while (head < len(chord_idx_lst)
+               and chord_idx_lst[head] < i + 1 - int(a.is_incomplete_measure)):
+            chord_position = chord_idx_lst[head]
+            chord_time = int(chord_position * a.ticks_per_bar + start_time)
+            chord = chords[head]
+            head += 1
+            chord_events.append(Event(
+                "Position", chord_time,
+                "{}/{}".format(
+                    int((chord_position - i + int(a.is_incomplete_measure))
+                        * DEFAULT_POSITION_RESOLUTION) + 1,
+                    DEFAULT_POSITION_RESOLUTION),
+                chord_time))  # reference passes the int, not str
+            name = chord.split("/")[0].split("(")[0]
+            chord_events.append(Event("Chord", chord_time, name, name))
+
+    merged = chord_events + note_events
+    merged.sort(key=lambda e: e.time)  # stable: scaffold first at equal time
+    return merged
 
 
 def decode_tokens_to_midi(midi_info: MidiInfo) -> MidiFile:
@@ -269,9 +377,9 @@ def decode_tokens_to_midi(midi_info: MidiInfo) -> MidiFile:
 class EventSequenceEncoder:
     """Object facade matching the reference API (encoder.py:14-96)."""
 
-    def encode(self, midi_path, sample_info=None, for_cp=False) -> np.ndarray:
+    def encode(self, midi_path, sample_info=None, for_cp=False):
         if for_cp:
-            raise NotImplementedError("for_cp event-object output is not supported")
+            return encode_midi_to_events(midi_path, sample_info)
         return encode_midi_to_tokens(midi_path, sample_info)
 
     def decode(self, midi_info: MidiInfo) -> MidiFile:

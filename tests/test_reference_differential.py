@@ -73,6 +73,27 @@ def test_encode_matches_executed_reference(ref, tmp_path, ts, bars, seed):
     np.testing.assert_array_equal(our_tokens, ref_tokens)
 
 
+@pytest.mark.parametrize("ts,bars,seed", CASES)
+def test_for_cp_events_match_executed_reference(ref, tmp_path, ts, bars, seed):
+    """``encode(..., for_cp=True)`` returns the pre-word-mapping Event stream
+    (reference encoder.py:48-49); compare name/time/value/text field-by-field
+    against the executed reference."""
+    from commu_tpu.preprocess.event_codec import encode_midi_to_events
+
+    ref_enc, _ = ref
+    num, den = (int(x) for x in ts.split("/"))
+    path = str(tmp_path / f"cp{seed}.mid")
+    make_commu_midi(path, num_measures=bars, numerator=num, denominator=den,
+                    seed=seed)
+    info = make_sample_info(num_measures=bars, time_signature=ts, seed=seed)
+    ref_events = ref_enc.encode(path, sample_info=info, for_cp=True)
+    our_events = encode_midi_to_events(path, info)
+    assert len(our_events) == len(ref_events)
+    for ours, theirs in zip(our_events, ref_events):
+        assert (ours.name, ours.time, ours.value, str(ours.text)) == (
+            theirs.name, int(theirs.time), theirs.value, str(theirs.text))
+
+
 def test_encode_oov_velocity_and_long_duration(ref, tmp_path):
     """OOV velocity (below the first bin) and bar-length durations hit the
     encoder's fallback paths (reference encoder.py:56-67)."""
