@@ -153,7 +153,13 @@ def chunked_masked_nll(logits: jnp.ndarray, targets: jnp.ndarray,
     all (rank x chunk) chunk-wise masked means, times the rank count folded
     into the lr (see schedule).  Here the same loss is computed in one graph.
     """
-    nll = token_nll(logits, targets)                      # [B, T] f32
+    return masked_chunk_loss(token_nll(logits, targets), targets, num_chunks)
+
+
+def masked_chunk_loss(nll: jnp.ndarray, targets: jnp.ndarray,
+                      num_chunks: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """chunked_masked_nll's chunk-mean arithmetic over a precomputed per-token
+    ``nll`` [B, T] (the fused-NLL kernel path never materializes logits)."""
     mask = (targets != PAD_ID).astype(jnp.float32)
     batch = targets.shape[0]
     assert batch % num_chunks == 0, (batch, num_chunks)
@@ -197,18 +203,31 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         from ..models.transformer_xl import resolve_attn_impl
         remat = resolve_attn_impl(cfg.model) != "pallas"
 
+    from ..models.transformer_xl import resolve_attn_impl as _impl
+    fused_nll = _impl(cfg.model) == "pallas"
+
     def chunk_loss(params, memory: Memory, inputs, targets, reset, dropout_rng):
         hidden, _, hids = model.apply(
             {"params": params}, inputs, memory, reset,
             same_length=cfg.model.same_length, deterministic=False,
             return_hiddens=True, method=model.forward,
             rngs={"dropout": dropout_rng})
-        logits = model.apply({"params": params}, hidden,
-                             method=TransformerXL.logits)
+        if fused_nll:
+            # fused tied-embedding projection + NLL: no [B, T, V] logits in
+            # HBM; the swapaxes is a layout bitcast (activations are already
+            # T-minor on the pallas path) — see commu_tpu.ops.fused_nll
+            from ..ops.fused_nll import fused_token_nll
+            nll = fused_token_nll(jnp.swapaxes(hidden, 1, 2),
+                                  params["embedding"], params["out_bias"],
+                                  targets)
+        else:
+            logits = model.apply({"params": params}, hidden,
+                                 method=TransformerXL.logits)
+            nll = token_nll(logits, targets)
         # per-device sub-chunk means reproduce the reference's per-rank chunk
         # loss under DDP averaging (see chunked_masked_nll)
-        loss, nll_sum, token_count = chunked_masked_nll(logits, targets,
-                                                        sem_per_physical)
+        loss, nll_sum, token_count = masked_chunk_loss(nll, targets,
+                                                       sem_per_physical)
         # only the NEW T rows leave the chunk — the memory write happens once,
         # in place, outside the scan (writing full ring buffers as scan ys
         # costs a ~2 GB rewrite per step); the transpose to the D-major
@@ -326,11 +345,24 @@ def make_eval_step(model: TransformerXL, *, same_length: bool = True) -> Callabl
     """Windowed eval step (reference: train.py:74-110): returns the masked
     NLL sum and token count for one ``bptt`` window, carrying XL memory."""
 
+    from ..models.transformer_xl import resolve_attn_impl as _impl
+    fused_nll = _impl(model.cfg) == "pallas"
+
     def eval_step(params, memory: Memory, inputs, targets, reset):
-        logits, new_memory = model.apply(
-            {"params": params}, inputs, memory, reset,
-            same_length=same_length, deterministic=True)
-        nll = token_nll(logits, targets)
+        if fused_nll:
+            hidden, new_memory = model.apply(
+                {"params": params}, inputs, memory, reset,
+                same_length=same_length, deterministic=True,
+                method=model.forward)
+            from ..ops.fused_nll import fused_token_nll
+            nll = fused_token_nll(jnp.swapaxes(hidden, 1, 2),
+                                  params["embedding"], params["out_bias"],
+                                  targets)
+        else:
+            logits, new_memory = model.apply(
+                {"params": params}, inputs, memory, reset,
+                same_length=same_length, deterministic=True)
+            nll = token_nll(logits, targets)
         mask = (targets != PAD_ID).astype(jnp.float32)
         return (nll * mask).sum(), mask.sum(), new_memory
 

@@ -249,6 +249,40 @@ def main():
           f32_first=curves["f32"][0], f32_last=curves["f32"][-1],
           bf16_first=curves["bf16"][0], bf16_last=curves["bf16"][-1])
 
+    # ---- 7. fused NLL kernel (value + all three grads) ------------------
+    from commu_tpu.ops.fused_nll import fused_token_nll
+
+    hb = jnp.asarray(rng.randn(B, T, xla_cfg.units) * 0.7, jnp.float32)
+    emb_p = params["embedding"]
+    bias_p = params["out_bias"]
+    tgt_n = jnp.asarray(rng.randint(0, VOCAB_SIZE, size=(B, T)))
+
+    def nll_ref(h, e, b):
+        logits = h.astype(jnp.float32) @ e.T + b
+        return jnp.sum(token_nll(logits, tgt_n))
+
+    def nll_ker(h, e, b):
+        return jnp.sum(fused_token_nll(jnp.swapaxes(h, 1, 2), e, b, tgt_n))
+
+    vref, gref = jax.jit(jax.value_and_grad(nll_ref, argnums=(0, 1, 2)))(
+        hb, emb_p, bias_p)
+    vker, gker = jax.jit(jax.value_and_grad(nll_ker, argnums=(0, 1, 2)))(
+        hb, emb_p, bias_p)
+    # tolerance matches gradient_parity: on TPU, BOTH the kernel's and the
+    # XLA reference's f32 matmuls round operands to bf16 per MXU pass
+    # (default precision), so each side carries ~1e-3 relative logit noise
+    # vs true f32 — measured on-device: kernel-vs-XLA-default agrees to
+    # ~4e-3 worst-case while XLA-default itself sits ~1e-2 from a
+    # precision=HIGHEST reference
+    worst_nll = rel_err(vker, vref)
+    ok_nll = worst_nll < 1e-5
+    g_info = {}
+    for name, a, b in zip(("dh", "demb", "dbias"), gker, gref):
+        frac_bad, excess = mismatch(a, b, rtol=5e-3, atol=5e-5)
+        g_info[f"excess_{name}"] = excess
+        ok_nll = ok_nll and excess < 1.0
+    check("fused_nll", ok_nll, value_rel_err=worst_nll, **g_info)
+
     n_fail = sum(not r["ok"] for r in RESULTS)
     print(json.dumps({"summary": "verify_tpu", "checks": len(RESULTS),
                       "failed": n_fail}))
