@@ -218,12 +218,16 @@ def prefill(model, params, cfg: ModelConfig, tokens: jnp.ndarray,
     the primer is [pad] + meta[:10] (11 tokens); the K/V of every primer token
     enters the cache.
     """
-    from .transformer_xl import init_memory
+    from .transformer_xl import init_memory, resolve_attn_impl
 
     batch, t = tokens.shape
     memory = init_memory(cfg.num_layers, batch, 0, cfg.units)
     _, _, hids = model.apply({"params": params}, tokens, memory,
                              method=model.forward, return_hiddens=True)
+    if resolve_attn_impl(cfg) == "pallas":
+        # the pallas layer stack emits hids T-minor ([G, D, T]); prefill is
+        # one tiny forward per episode, so the flip is negligible
+        hids = [jnp.swapaxes(h, 1, 2) for h in hids]
     n_head = cfg.num_heads
     d_head = cfg.units // n_head
     hd = n_head * d_head

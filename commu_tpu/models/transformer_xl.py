@@ -58,7 +58,8 @@ class Memory:
       [L+1, R, B, D, T] — R slabs of T token slots each (slot j lives at
       block j // T, lane j % T; M = R*T).  D on sublanes feeds the
       fused-attention kv projection without a relayout; the RING dimension
-      ahead of [B, D, T] makes the per-step update a contiguous slab write
+      ahead of [B, D, T] makes the per-step update a contiguous slab copy
+      (the layer stack already produces [B, D, T] rows)
       through an aliased Pallas kernel (``commu_tpu.ops.layout.ring_write``)
       — with the ring minor ([.., D, M] + lane offset) the same update
       decomposes into 256-byte strided writes that XLA can only lower as a
@@ -222,12 +223,16 @@ class RelMultiHeadAttention(nn.Module):
     def __call__(self, x, mem, pos_emb, r_w_bias, r_r_bias, mask,
                  deterministic: bool, pallas_ctx=None, layer_idx: int = 0,
                  return_pre_norm: bool = False):
+        """``x`` is [B, T, D] on the XLA path but [B, D, T] on the pallas
+        path — the layer stack carries its activations T-minor end to end
+        so no orientation flip ever materializes (see ``TransformerXL.forward``)."""
         cfg = self.cfg
         d_model = cfg.units
         n_head = cfg.num_heads
         d_head = d_model // n_head
-        batch, tgt_len, _ = x.shape
         impl = resolve_attn_impl(cfg)
+        batch = x.shape[0]
+        tgt_len = x.shape[2] if impl == "pallas" else x.shape[1]
         # the pallas path receives the FULL blocked D-major ring buffer
         # [L+1, R, B, D, T] plus this layer's index (see forward)
         mem_capacity = (mem.shape[1] * mem.shape[4] if impl == "pallas"
@@ -235,7 +240,7 @@ class RelMultiHeadAttention(nn.Module):
         klen = mem_capacity + tgt_len
         hd = n_head * d_head
 
-        q_net = Proj(hd, self.dtype, name="q_net")
+        q_net = Proj(hd, self.dtype, in_features=d_model, name="q_net")
         kv_net = Proj(2 * hd, self.dtype, in_features=d_model, name="kv_net")
         r_net = Proj(hd, self.dtype, in_features=d_model, name="r_net")
         o_net = Proj(d_model, self.dtype, in_features=hd, name="o_net")
@@ -247,14 +252,16 @@ class RelMultiHeadAttention(nn.Module):
 
             # projections emit the kernel layout straight from the MXU:
             # head dim on sublanes, token dim on lanes (dh=50 would pad to
-            # 128 lanes if it were minor — 2.56x HBM/VMEM/MXU waste).  The
-            # memory and window halves are projected SEPARATELY so the
+            # 128 lanes if it were minor — 2.56x HBM/VMEM/MXU waste), and
+            # CONSUME the T-minor [B, D, T] activations the previous layer
+            # produced (a D-minor input would pay a relayout copy per layer).
+            # The memory and window halves are projected SEPARATELY so the
             # [mems; x] concat never materializes (it would re-lay-out the
             # whole memory every layer; the kernel joins the halves in VMEM)
-            q = q_net(x, "btd,dhc->bhct", (d_model, n_head, d_head))
-            k_win = kv_net(x, "btd,dhc->bhct", (d_model, n_head, d_head),
+            q = q_net(x, "bdt,dhc->bhct", (d_model, n_head, d_head))
+            k_win = kv_net(x, "bdt,dhc->bhct", (d_model, n_head, d_head),
                            kernel_slice=slice(0, hd))
-            v_win = kv_net(x, "btd,dhc->bhct", (d_model, n_head, d_head),
+            v_win = kv_net(x, "bdt,dhc->bhct", (d_model, n_head, d_head),
                            kernel_slice=slice(hd, 2 * hd))
             w_r = fused_attention.pack_r_kernel(
                 r_net(None, return_kernel=True), n_head)
@@ -332,6 +339,13 @@ class RelMultiHeadAttention(nn.Module):
                 out = jnp.swapaxes(out, 1, 2)
             return out, ln(return_params=True)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        if impl == "pallas":
+            # standalone (non-fused-FFN) use: x is [B, D, T]; LayerNormP
+            # normalizes the minor axis, so flip for the residual+LN and
+            # flip back (DecoderLayer's production path never comes here)
+            y = ln(jnp.swapaxes(x, 1, 2).astype(jnp.float32) +
+                   out.astype(jnp.float32)).astype(x.dtype)
+            return jnp.swapaxes(y, 1, 2)
         return ln(x.astype(jnp.float32) +
                   out.astype(jnp.float32)).astype(x.dtype)
 
@@ -376,9 +390,8 @@ class DecoderLayer(nn.Module):
         # pallas path: everything after the attention projection — residual
         # dropout, both LayerNorms, and the position-wise FFN — runs in ONE
         # fused kernel over [B, D, T] tiles (commu_tpu.ops.fused_ffn).  The
-        # swapaxes at the boundary are layout bitcasts: XLA already stores
-        # the inter-layer activations T-minor (the attention kernel's
-        # orientation).
+        # layer stack carries x as [B, D, T] end to end, so there is no
+        # orientation flip anywhere between kernels.
         from ..ops.fused_ffn import ffn_block
         o, (g1, be1) = attn(x, mem, pos_emb, r_w_bias, r_r_bias, mask,
                             deterministic, pallas_ctx, layer_idx,
@@ -392,11 +405,10 @@ class DecoderLayer(nn.Module):
                 dtype=jnp.int32)
         else:
             seed = jnp.zeros((), dtype=jnp.int32)
-        y = ffn_block(jnp.swapaxes(x, 1, 2), o,
-                      w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
-                      g1, be1, g2, be2, seed, self.cfg.dropout,
-                      not deterministic)
-        return jnp.swapaxes(y, 1, 2)
+        return ffn_block(x, o,
+                         w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                         g1, be1, g2, be2, seed, self.cfg.dropout,
+                         not deterministic)
 
 
 class TransformerXL(nn.Module):
@@ -476,10 +488,15 @@ class TransformerXL(nn.Module):
                 tgt_len, mem_capacity, memory.count, reset, same_length, batch)
             pallas_ctx = None
 
+        pallas = pallas_ctx is not None
+        if pallas:
+            # the pallas layer stack carries activations T-minor ([B, D, T])
+            # end to end — one transpose here (fused into the gather/dropout)
+            # replaces a relayout copy per layer per consumer
+            word_emb = jnp.swapaxes(word_emb, 1, 2)
         h = self.emb_dropout(word_emb, deterministic=deterministic)
 
         hids = [h]
-        pallas = pallas_ctx is not None
         for i, layer in enumerate(self.layers):
             # pallas: the layer receives the FULL ring buffer + its index so
             # the backward kernel can block-index the layer without a
@@ -489,16 +506,25 @@ class TransformerXL(nn.Module):
                       pallas_ctx, i)
             hids.append(h)
         out = self.out_dropout(h, deterministic=deterministic)
+        if pallas:
+            # public contract stays [B, T, D]; consumers that want the
+            # T-minor orientation (the fused NLL) swap back — an exact
+            # inverse transpose XLA cancels
+            out = jnp.swapaxes(out, 1, 2)
 
-        new_memory = self._update_memory(memory, hids)
+        new_memory = self._update_memory(memory, hids, t_minor=pallas)
         if return_hiddens:
-            # per-layer INPUT hiddens (hids[0..L-1]) feed the decode KV cache
+            # per-layer INPUT hiddens (hids[0..L-1]) feed the decode KV
+            # cache; [B, D, T] on the pallas path, [B, T, D] on XLA
             return out, new_memory, hids
         return out, new_memory
 
-    def _update_memory(self, memory: Memory, hids) -> Memory:
+    def _update_memory(self, memory: Memory, hids,
+                       t_minor: bool = False) -> Memory:
+        """``t_minor``: hids are [B, D, T] (the pallas stack's orientation);
+        otherwise [B, T, D]."""
         mem_capacity = memory_capacity(memory)
-        tgt_len = hids[0].shape[1]
+        tgt_len = hids[0].shape[2] if t_minor else hids[0].shape[1]
         stacked = jax.lax.stop_gradient(
             jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
         new_count = jnp.minimum(memory.count + tgt_len, mem_capacity)
@@ -507,14 +533,20 @@ class TransformerXL(nn.Module):
                 and mem_capacity % tgt_len == 0)
         if ring:
             if memory.transposed:
-                # ONE contiguous slab write into the aliased ring buffer,
-                # transpose fused (see commu_tpu.ops.layout.ring_write)
+                # ONE contiguous slab write into the aliased ring buffer —
+                # ``stacked`` is already slab-oriented [L+1, B, D, T]
+                # (see commu_tpu.ops.layout.ring_write)
                 from ..ops.layout import ring_write
                 assert memory.hidden.shape[4] == tgt_len, \
                     (memory.hidden.shape, tgt_len)
+                if not t_minor:
+                    stacked = jnp.swapaxes(stacked, 2, 3)
                 new_hidden = ring_write(memory.hidden, stacked,
                                         memory.head // tgt_len, axis=1)
             else:
+                # tests/back-compat: right-aligned [L+1, B, M, D] buffer
+                if t_minor:
+                    stacked = jnp.swapaxes(stacked, 2, 3)
                 new_hidden = jax.lax.dynamic_update_slice(
                     memory.hidden, stacked, (0, 0, memory.head, 0))
             new_head = jnp.mod(memory.head + tgt_len, mem_capacity)
@@ -522,6 +554,8 @@ class TransformerXL(nn.Module):
                           transposed=memory.transposed)
         assert not memory.transposed, \
             "transposed memory requires the ring layout (pallas path)"
+        if t_minor:
+            stacked = jnp.swapaxes(stacked, 2, 3)
         if tgt_len >= mem_capacity:
             new_hidden = stacked[:, :, -mem_capacity:] if mem_capacity else \
                 memory.hidden

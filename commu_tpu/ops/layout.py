@@ -1,12 +1,13 @@
 """Memory-layout kernels: the aliased blocked-ring slab write.
 
 A Pallas call's operands and results are ALWAYS standard-layout (minor dim
-on lanes), so routing a value through a Pallas copy both performs the
-logical transpose in VMEM at copy bandwidth and anchors the result's
+on lanes), so routing a value through a Pallas copy anchors the result's
 physical layout.  ``ring_write`` uses this to update the XL-memory ring
-buffer in place: one contiguous slab write with the [T, D] -> [D, T]
-transpose fused in, aliased through ``input_output_aliases`` so the rest of
-the buffer is never touched.
+buffer in place: one contiguous slab copy, aliased through
+``input_output_aliases`` so the rest of the buffer is never touched.
+``rows`` arrives ALREADY in the slab orientation [..., D, T] — the layer
+stack carries its activations T-minor end to end, so no transpose happens
+anywhere on the memory path.
 """
 from __future__ import annotations
 
@@ -22,22 +23,21 @@ def _interpret() -> bool:
 
 def _ring_write_kernel(s_ref, buf_ref, rows_ref, out_ref):
     del s_ref, buf_ref  # aliased buffer: untouched blocks keep their contents
-    out_ref[(0,) * (out_ref.ndim - 2)] = jnp.swapaxes(
-        rows_ref[(0,) * (rows_ref.ndim - 2)], 0, 1)
+    out_ref[(0,) * (out_ref.ndim - 2)] = rows_ref[(0,) * (rows_ref.ndim - 2)]
 
 
 def ring_write(buf: jnp.ndarray, rows: jnp.ndarray, block_index,
                axis: int) -> jnp.ndarray:
-    """In-place blocked ring write with fused transpose.
+    """In-place blocked ring slab write.
 
     ``buf`` carries a ring dimension of R slabs at position ``axis``
     (e.g. [L+1, R, B, D, T] with axis=1): slot j of the logical
     [..., D, R*T] memory lives at slab j // T, lane j % T.  ``rows``
-    (= ``buf`` with the slab dim removed and the last two dims swapped,
-    e.g. [L+1, B, T, D]) are the new rows in the token-major orientation
-    the layer stack produces; ``block_index`` (int32 scalar) is the ring
-    head in BLOCKS (head // T).  Returns ``buf`` with slab ``block_index``
-    replaced by ``rows`` transposed to [..., D, T].
+    (= ``buf`` with the slab dim removed, e.g. [L+1, B, D, T]) are the new
+    rows, ALREADY in the slab orientation — the pallas layer stack carries
+    its activations T-minor end to end, so the write is a pure copy;
+    ``block_index`` (int32 scalar) is the ring head in BLOCKS (head // T).
+    Returns ``buf`` with slab ``block_index`` replaced by ``rows``.
 
     Why this exists: with the ring dimension minor ([..., D, M] and a lane
     offset), a dynamic-offset update decomposes into 256-byte strided writes
@@ -50,7 +50,7 @@ def ring_write(buf: jnp.ndarray, rows: jnp.ndarray, block_index,
     sliced elsewhere (a leading-dim layer slice stays a free contiguous
     view; see commu_tpu.models.transformer_xl.Memory).
     """
-    *lead, t, d = rows.shape
+    *lead, d, t = rows.shape
     n = len(lead)
     expect = tuple(lead[:axis]) + (buf.shape[axis],) + tuple(lead[axis:]) + \
         (d, t)
@@ -59,7 +59,7 @@ def ring_write(buf: jnp.ndarray, rows: jnp.ndarray, block_index,
         # CPU/tests: a slab-dim dynamic_update_slice is contiguous and
         # cheap everywhere; interpret-mode aliasing of partially-written
         # outputs is not guaranteed
-        new = jnp.expand_dims(jnp.swapaxes(rows, -1, -2), axis)
+        new = jnp.expand_dims(rows, axis)
         zero = jnp.zeros((), jnp.int32)
         idx = (zero,) * axis + (jnp.asarray(block_index, jnp.int32),) + \
             (zero,) * (n - axis + 2)
@@ -72,7 +72,7 @@ def ring_write(buf: jnp.ndarray, rows: jnp.ndarray, block_index,
     buf_spec = pl.BlockSpec((1,) * (n + 1) + (d, t), buf_idx,
                             memory_space=pltpu.VMEM)
     rows_spec = pl.BlockSpec(
-        (1,) * n + (t, d), lambda *a: a[:-1] + (0, 0),
+        (1,) * n + (d, t), lambda *a: a[:-1] + (0, 0),
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=tuple(lead),

@@ -230,8 +230,8 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
                                                        sem_per_physical)
         # only the NEW T rows leave the chunk — the memory write happens once,
         # in place, outside the scan (writing full ring buffers as scan ys
-        # costs a ~2 GB rewrite per step); the transpose to the D-major
-        # memory layout is fused into the ring-write kernel
+        # costs a ~2 GB rewrite per step).  On the pallas path the hids are
+        # already slab-oriented [B, D, T], so the stack IS the ring slab.
         new_rows = jax.lax.stop_gradient(
             jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
         return loss / n_chunks, (new_rows, nll_sum, token_count)
@@ -295,29 +295,38 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
                 scan_body, (grad_zero, 0.0, 0.0),
                 (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
                  to_chunks(reset)))
-        # new_rows: [C, L+1, B/C, T, D]
+        # new_rows: [C, L+1, B/C, D, T] (pallas; slab-oriented from the layer
+        # stack) or [C, L+1, B/C, T, D] (xla)
         if ring:
             if memory.transposed:
                 # ONE contiguous slab write into the aliased blocked ring
-                # buffer, transpose fused (commu_tpu.ops.layout.ring_write)
+                # buffer — no transpose (commu_tpu.ops.layout.ring_write)
                 from ..ops.layout import ring_write
                 assert memory.hidden.shape[5] == t_len, \
                     (memory.hidden.shape, t_len)
+                if not fused_nll:
+                    new_rows = jnp.swapaxes(new_rows, 3, 4)
                 new_hidden = ring_write(memory.hidden, new_rows,
                                         memory.head // t_len, axis=2)
             else:
+                if fused_nll:
+                    new_rows = jnp.swapaxes(new_rows, 3, 4)
                 new_hidden = jax.lax.dynamic_update_slice(
                     memory.hidden, new_rows, (0, 0, 0, memory.head, 0))
             new_head = jnp.mod(memory.head + t_len, m_cap)
         elif t_len < m_cap:
             assert not memory.transposed, \
                 "transposed memory requires the ring layout (pallas path)"
+            if fused_nll:
+                new_rows = jnp.swapaxes(new_rows, 3, 4)
             new_hidden = jnp.concatenate(
                 [memory.hidden[..., t_len:, :], new_rows], axis=3)
             new_head = jnp.zeros((), jnp.int32)
         else:
             assert not memory.transposed, \
                 "transposed memory requires the ring layout (pallas path)"
+            if fused_nll:
+                new_rows = jnp.swapaxes(new_rows, 3, 4)
             new_hidden = new_rows[..., -m_cap:, :]
             new_head = jnp.zeros((), jnp.int32)
 

@@ -168,14 +168,14 @@ def main():
     from commu_tpu.ops.layout import ring_write
     L1, R, BB, D, TB = 3, 4, 2, 8, 128
     buf0 = jnp.asarray(rng.randn(L1, R, BB, D, TB), jnp.float32)
-    rows = jnp.asarray(rng.randn(L1, BB, TB, D), jnp.float32)
+    rows = jnp.asarray(rng.randn(L1, BB, D, TB), jnp.float32)
     ok_rw = True
     worst_rw = 0.0
     f_rw = jax.jit(lambda b, r, i: ring_write(b, r, i, axis=1))
     for i in range(R):
         got = np.asarray(f_rw(buf0, rows, jnp.int32(i)))
         want = np.asarray(jax.lax.dynamic_update_slice(
-            buf0, jnp.expand_dims(jnp.swapaxes(rows, -1, -2), 1),
+            buf0, jnp.expand_dims(rows, 1),
             (jnp.int32(0), jnp.int32(i), jnp.int32(0), jnp.int32(0),
              jnp.int32(0))))
         e = float(np.max(np.abs(got - want)))
