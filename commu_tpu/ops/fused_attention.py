@@ -205,6 +205,37 @@ def build_mask_bias(t: int, m_cap: int, mem_count, head, same_length: bool,
     return jnp.stack([normal, reset_row]).astype(dtype)
 
 
+def random_keep(shape, dropout_p):
+    """Bernoulli(1 - p) keep mask from HALF-WIDTH prng draws.
+
+    ``pltpu.prng_random_bits`` cost scales with the number of uint32 words;
+    dropout-mask generation is the dominant dropout cost (measured ~10 ms of
+    a ~101 ms step at the reference rates, fwd + bwd regeneration).  Two
+    16-bit halves per word halve that volume; the keep probability is
+    quantized to 2^-16 (|Δp| <= 7.7e-6 — the 32-bit draw was itself
+    quantized to 2^-32).  The two half-planes land in a fixed position
+    permutation of the mask (iid Bernoulli is permutation-invariant, and
+    the forward and backward both derive the mask through this function
+    from the same seed, so they always agree).  Falls back to full-width
+    draws when neither axis splits tile-cleanly."""
+    t16 = jnp.uint32(min(0xFFFF, round(dropout_p * 65536.0)))
+    r, c = shape
+    # concatenate the u32 HALF-VALUES, not the boolean comparisons — Mosaic
+    # cannot concatenate i1 vregs ("Invalid vector register cast")
+    if c % 2 == 0 and (c // 2) % 128 == 0:
+        bits = pltpu.prng_random_bits((r, c // 2))
+        halves = jnp.concatenate([bits & jnp.uint32(0xFFFF),
+                                  bits >> jnp.uint32(16)], axis=1)
+        return halves >= t16
+    if r % 2 == 0:
+        bits = pltpu.prng_random_bits((r // 2, c))
+        halves = jnp.concatenate([bits & jnp.uint32(0xFFFF),
+                                  bits >> jnp.uint32(16)], axis=0)
+        return halves >= t16
+    thresh = jnp.uint32(min(0xFFFFFFFF, round(dropout_p * 2.0 ** 32)))
+    return pltpu.prng_random_bits(shape) >= thresh
+
+
 def _trig_combine(u, trig_a):
     """phi [T, 2F] such that phi . psi[:, j] == u . emb(a - j)."""
     f = u.shape[1] // 2
@@ -275,21 +306,18 @@ def _attn_scores(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
 
 
 def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
-    """Softmax phase (VPU): (probs post-dropout+normalize, e clean)."""
+    """Softmax phase (VPU): (probs post-dropout, p_clean normalized)."""
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     inv_denom = 1.0 / jnp.sum(e, axis=1, keepdims=True)              # [T,1]
+    p_clean = e * inv_denom
     if train and dropout_p > 0.0:
         pltpu.prng_seed(scalar_ref[0] + b * 4096 + h)
-        bits = pltpu.prng_random_bits((t, k_len))                    # uint32
-        thresh = jnp.uint32(min(0xFFFFFFFF, round(dropout_p * 2.0 ** 32)))
-        keep = bits >= thresh
-        # normalization folded into the keep-select: probs = e/denom * scale
-        probs = jnp.where(keep, e * (inv_denom * (1.0 / (1.0 - dropout_p))),
-                          0.0)
+        keep = random_keep((t, k_len), dropout_p)
+        probs = jnp.where(keep, p_clean * (1.0 / (1.0 - dropout_p)), 0.0)
     else:
-        probs = e * inv_denom
-    return probs, e
+        probs = p_clean
+    return probs, p_clean
 
 
 def _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
@@ -299,17 +327,19 @@ def _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
     ``head_kv(hh) -> (k, v)`` (either DMA'd pre-projected halves or the
     pre-projected memory halves or the window-only case)."""
     def finish(hh, h, s, v):
-        probs, e = _attn_softmax(scalar_ref, s, b, h, t=t, k_len=k_len,
-                                 dropout_p=dropout_p, train=train)
+        probs, p_clean = _attn_softmax(scalar_ref, s, b, h, t=t, k_len=k_len,
+                                       dropout_p=dropout_p, train=train)
         o = jax.lax.dot_general(v, probs.astype(v.dtype),
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [dh,T]
         o_ref[0, hh, :, :] = o.astype(o_ref.dtype)
         if e_ref is not None:
-            # the VJP forward checkpoints the (max-subtracted) exp scores so
-            # the backward never re-runs the score matmuls — at bf16 this is
-            # 295 KB per program, far cheaper than recomputing AC + BD + u
-            e_ref[0, hh, :, :] = e.astype(e_ref.dtype)
+            # the VJP forward checkpoints the NORMALIZED probabilities so the
+            # backward never re-runs the score matmuls NOR the softmax
+            # normalization (the denominator rowsum + renormalize it used to
+            # redo per head) — at bf16 this is 295 KB per program, far
+            # cheaper than recomputing AC + BD + u
+            e_ref[0, hh, :, :] = p_clean.astype(e_ref.dtype)
 
     # software-pipelined heads: head hh+1's score matmuls (MXU) are emitted
     # BEFORE head hh's softmax/output phase, giving the scheduler a full
@@ -371,24 +401,20 @@ def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
 def _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                  do_ref, e_ref, b, h, hh, *, t, k_len, dropout_p, train):
     """Backward stage A for one head: restore the softmax state from the
-    checkpointed exp scores and run the first matmul pair (dv, dp).
+    checkpointed normalized probabilities and run the first matmul pair
+    (dv, dp).
     ``b``/``h`` are LOGICAL batch/head indices (the dropout mask regenerates
     from them, independent of grid order)."""
     qw = qw_ref[0, hh, :, :]
     qr = qr_ref[0, hh, :, :]
     k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh)
-    e = e_ref[0, hh, :, :].astype(jnp.float32)                       # [T,K]
-    inv_denom = 1.0 / jnp.sum(e, axis=1, keepdims=True)
+    p_clean = e_ref[0, hh, :, :].astype(jnp.float32)                 # [T,K]
     if train and dropout_p > 0.0:
         pltpu.prng_seed(scalar_ref[0] + b * 4096 + h)
-        bits = pltpu.prng_random_bits((t, k_len))
-        thresh = jnp.uint32(min(0xFFFFFFFF, round(dropout_p * 2.0 ** 32)))
-        keep = bits >= thresh
-        probs = jnp.where(keep, e * (inv_denom * (1.0 / (1.0 - dropout_p))),
-                          0.0)
+        keep = random_keep((t, k_len), dropout_p)
+        probs = jnp.where(keep, p_clean * (1.0 / (1.0 - dropout_p)), 0.0)
     else:
-        keep = None
-        probs = e * inv_denom
+        probs = p_clean
     do = do_ref[0, hh, :, :]                                          # [dh,T]
 
     # dv uses the POST-dropout probabilities (o = dropout(p) @ v)
@@ -397,8 +423,7 @@ def _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
                              preferred_element_type=jnp.float32)     # [dh,K]
     dp = jax.lax.dot_general(do, v, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)     # [T,K]
-    p_clean = e * inv_denom
-    return qw, qr, k, dv, dp, p_clean, keep
+    return qw, qr, k, dv, dp, p_clean, probs
 
 
 def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
@@ -419,14 +444,16 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
     block).  ``scale`` (the 1/sqrt(dh) fold, a compile-time constant) is
     applied in-kernel so no separate elementwise pass rescales dq outside.
     """
-    qw, qr, k, dv, dp, p_clean, keep = stage_a
-    # dropout backward FIRST (d dropout(p) -> d p is the same keep/scale
-    # mask), then the softmax backward on the CLEAN probabilities —
-    # folding the mask into p instead is wrong: dropped positions still
-    # receive the -p * rowsum term
-    if keep is not None:
-        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_p)), 0.0)
-    ds = p_clean * (dp - jnp.sum(dp * p_clean, axis=1, keepdims=True))  # [T,K]
+    qw, qr, k, dv, dp, p_clean, probs = stage_a
+    # dropout backward folded through the softmax backward: with
+    # dp~ = keep/(1-p) * dp, the chain  ds = p_clean * (dp~ - rowsum(dp~ *
+    # p_clean))  simplifies because p_clean * dp~ == probs * dp (probs are
+    # the post-dropout probabilities stage A already built for dv) — one
+    # multiply replaces the keep-select plus a second [T, K] multiply.
+    # Dropped positions still receive the -p_clean * rowsum term, exactly
+    # as in the unfused form (folding the mask into p instead is wrong).
+    pd = probs * dp                                                  # [T,K]
+    ds = pd - p_clean * jnp.sum(pd, axis=1, keepdims=True)           # [T,K]
 
     ds_c = ds.astype(k.dtype)
     dk = jax.lax.dot_general(qw, ds_c, (((1,), (0,)), ((), ())),
@@ -468,7 +495,7 @@ def _pipe_depth() -> int:
 
 
 def _bwd_pipeline(hp, hg, stage_a, finish):
-    """Software-pipelined head loop: head hh+1's stage A (exp-score restore
+    """Software-pipelined head loop: head hh+1's stage A (checkpoint restore
     + dv/dp matmuls) is emitted BEFORE head hh's stage B, interleaving
     independent MXU and VPU work across heads (same reasoning as
     ``_fwd_kernel``; measured ~10% on the whole step)."""
@@ -623,7 +650,7 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
 
     has_mem = k_mem is not None
     kv_specs = [bh_m, bh_t, bh_m, bh_t] if has_mem else [bh_t, bh_t]
-    # "e" blocks are [T, K] score-shaped (the checkpointed exp scores)
+    # "e" blocks are [T, K] score-shaped (the checkpointed normalized probs)
     e_blk = pl.BlockSpec((1, hp, t, m_cap + t), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
     extra_spec = {"t": bh_t, "e": e_blk}

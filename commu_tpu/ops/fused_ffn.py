@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _VMEM_LIMIT, _interpret
+from .fused_attention import _VMEM_LIMIT, _interpret, random_keep
 
 LN_EPS = 1e-5
 # distinct dropout streams per (batch row, site)
@@ -57,9 +57,7 @@ _SALT_O, _SALT_H, _SALT_F = 0, 1, 2
 
 def _dropout_mask(seed, b, salt, shape, dropout_p):
     pltpu.prng_seed(seed + b * 8192 + salt * 2048)
-    bits = pltpu.prng_random_bits(shape)
-    thresh = jnp.uint32(min(0xFFFFFFFF, round(dropout_p * 2.0 ** 32)))
-    return bits >= thresh
+    return random_keep(shape, dropout_p)
 
 
 def _apply_drop(val, keep, dropout_p):
