@@ -71,7 +71,10 @@ gradients come out as two extra lanes of the dW_r output), dk/dv (memory
 and window halves separately) and per-(b,h) dW_r partials (reduced over
 batch outside the kernel — XLA's reduction is faster than sequential-grid
 accumulation).
-Attention dropout regenerates the same mask from the same per-(b,h) seed.
+Attention dropout draws its mask once, in the forward, and SIGN-ENCODES it
+into the probability checkpoint (probabilities are non-negative, so the
+sign bit is free) — the backward decodes |c| / max(c, 0) and never touches
+the PRNG.
 
 Positional dropout: the reference drops the distance-indexed sinusoid table
 before projecting it (model.py:588-592 drop(pos_emb)).  Here the equivalent
@@ -306,7 +309,14 @@ def _attn_scores(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
 
 
 def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
-    """Softmax phase (VPU): (probs post-dropout, p_clean normalized)."""
+    """Softmax phase (VPU): (probs post-dropout, checkpoint value).
+
+    The checkpoint SIGN-ENCODES the dropout mask into the normalized
+    probabilities (p_clean >= 0, so the sign bit is free): c = p_clean
+    where kept, -p_clean where dropped.  The backward decodes p_clean =
+    |c| and probs = max(c, 0)/(1-p) — it never touches the PRNG.  (A
+    dropped p_clean == 0 loses the sign, but probs there is 0 either way.)
+    """
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     inv_denom = 1.0 / jnp.sum(e, axis=1, keepdims=True)              # [T,1]
@@ -315,9 +325,10 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
         pltpu.prng_seed(scalar_ref[0] + b * 4096 + h)
         keep = random_keep((t, k_len), dropout_p)
         probs = jnp.where(keep, p_clean * (1.0 / (1.0 - dropout_p)), 0.0)
+        chk = jnp.where(keep, p_clean, -p_clean)
     else:
-        probs = p_clean
-    return probs, p_clean
+        probs = chk = p_clean
+    return probs, chk
 
 
 def _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
@@ -327,19 +338,19 @@ def _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
     ``head_kv(hh) -> (k, v)`` (either DMA'd pre-projected halves or the
     pre-projected memory halves or the window-only case)."""
     def finish(hh, h, s, v):
-        probs, p_clean = _attn_softmax(scalar_ref, s, b, h, t=t, k_len=k_len,
-                                       dropout_p=dropout_p, train=train)
+        probs, chk = _attn_softmax(scalar_ref, s, b, h, t=t, k_len=k_len,
+                                   dropout_p=dropout_p, train=train)
         o = jax.lax.dot_general(v, probs.astype(v.dtype),
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [dh,T]
         o_ref[0, hh, :, :] = o.astype(o_ref.dtype)
         if e_ref is not None:
-            # the VJP forward checkpoints the NORMALIZED probabilities so the
-            # backward never re-runs the score matmuls NOR the softmax
-            # normalization (the denominator rowsum + renormalize it used to
-            # redo per head) — at bf16 this is 295 KB per program, far
-            # cheaper than recomputing AC + BD + u
-            e_ref[0, hh, :, :] = p_clean.astype(e_ref.dtype)
+            # the VJP forward checkpoints the NORMALIZED probabilities with
+            # the dropout mask sign-encoded, so the backward never re-runs
+            # the score matmuls, the softmax normalization, NOR the dropout
+            # PRNG — at bf16 this is 295 KB per program, far cheaper than
+            # recomputing AC + BD + u
+            e_ref[0, hh, :, :] = chk.astype(e_ref.dtype)
 
     # software-pipelined heads: head hh+1's score matmuls (MXU) are emitted
     # BEFORE head hh's softmax/output phase, giving the scheduler a full
@@ -408,13 +419,14 @@ def _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     qw = qw_ref[0, hh, :, :]
     qr = qr_ref[0, hh, :, :]
     k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh)
-    p_clean = e_ref[0, hh, :, :].astype(jnp.float32)                 # [T,K]
+    c = e_ref[0, hh, :, :].astype(jnp.float32)                       # [T,K]
     if train and dropout_p > 0.0:
-        pltpu.prng_seed(scalar_ref[0] + b * 4096 + h)
-        keep = random_keep((t, k_len), dropout_p)
-        probs = jnp.where(keep, p_clean * (1.0 / (1.0 - dropout_p)), 0.0)
+        # dropout mask sign-encoded in the checkpoint (see _attn_softmax):
+        # NO prng in the backward
+        p_clean = jnp.abs(c)
+        probs = jnp.maximum(c, 0.0) * (1.0 / (1.0 - dropout_p))
     else:
-        probs = p_clean
+        probs = p_clean = c
     do = do_ref[0, hh, :, :]                                          # [dh,T]
 
     # dv uses the POST-dropout probabilities (o = dropout(p) @ v)

@@ -29,11 +29,13 @@ as f32 VMEM-resident output blocks (constant index map): initialized at
 b == 0, accumulated across the whole grid, flushed once — the same pattern
 as the in-kernel memory dW of commu_tpu.ops.fused_attention.
 
-Dropout masks regenerate in the backward from the same per-(b, site) seed
-(pltpu.prng_*, as in the attention kernel).  LN statistics are checkpointed
-([4, T] f32 per row: mean1, rstd1, mean2, rstd2) so the backward normalizes
-exactly the values the forward produced; z1, z2 and the post-relu h1 are
-checkpointed in the compute dtype.
+The o/f dropout masks regenerate in the backward from the same per-(b,
+site) seed (pltpu.prng_*, as in the attention kernel); the h1 mask — the
+largest of the three — is SIGN-ENCODED into the h1 checkpoint instead
+(post-relu h1 >= 0, so the sign bit is free) and never regenerated.  The
+NORMALIZED LayerNorm outputs (norm1, norm2) and post-relu h1 are
+checkpointed in the compute dtype, plus the rstds ([2, T] f32 per row) —
+the backward consumes norm directly and never re-subtracts a mean.
 
 Numerics match the XLA module path to bf16/f32 tolerance
 (tests/test_fused_attention.py::test_gradient_parity runs the whole layer
@@ -122,21 +124,25 @@ def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             keep_o = _dropout_mask(seed, b, _SALT_O, o.shape, dropout_p)
             o = _apply_drop(o, keep_o, dropout_p)
         z1 = x + o
-        a_f32, _, mean1, rstd1 = _ln_fwd(z1, g1, be1)
+        a_f32, norm1, _, rstd1 = _ln_fwd(z1, g1, be1)
         a = a_f32.astype(cdt)                                     # [D, T]
         h1_pre = jax.lax.dot_general(w1, a, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        return z1, a_f32, mean1, rstd1, h1_pre
+        return norm1, a_f32, rstd1, h1_pre
 
     def finish(r, b, st):
         """relu/dropout (VPU), W2 matmul (MXU), LN2 + writes (VPU)."""
-        z1, a_f32, mean1, rstd1, h1_pre = st
+        norm1, a_f32, rstd1, h1_pre = st
         h1 = jnp.maximum(h1_pre + b1_ref[:, 0:1].astype(jnp.float32), 0.0)
-        h1_c = h1.astype(cdt)                                     # [F, T]
         if drop:
             keep_h = _dropout_mask(seed, b, _SALT_H, h1.shape, dropout_p)
             h1_d = _apply_drop(h1, keep_h, dropout_p).astype(cdt)
+            # checkpoint h1 with the dropout mask SIGN-ENCODED (post-relu
+            # h1 >= 0, so the sign bit is free): the backward decodes
+            # |c| / (c > 0) and never regenerates this mask
+            h1_c = jnp.where(keep_h, h1, -h1).astype(cdt)
         else:
+            h1_c = h1.astype(cdt)                                 # [F, T]
             h1_d = h1_c
         f = jax.lax.dot_general(w2, h1_d, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -145,16 +151,18 @@ def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             keep_f = _dropout_mask(seed, b, _SALT_F, f.shape, dropout_p)
             f = _apply_drop(f, keep_f, dropout_p)
         z2 = a_f32 + f
-        y, _, mean2, rstd2 = _ln_fwd(z2, g2, be2)
+        y, norm2, _, rstd2 = _ln_fwd(z2, g2, be2)
         y_ref[r] = y.astype(y_ref.dtype)
         if z1_ref is not None:  # VJP forward: checkpoint for the backward
-            z1_ref[r] = z1.astype(z1_ref.dtype)
-            z2_ref[r] = z2.astype(z2_ref.dtype)
+            # the NORMALIZED values are checkpointed (not z1/z2): the
+            # backward consumes norm directly, so it never re-subtracts the
+            # mean / re-multiplies the rstd — and the means need not be
+            # stored at all
+            z1_ref[r] = norm1.astype(z1_ref.dtype)
+            z2_ref[r] = norm2.astype(z2_ref.dtype)
             h1_ref[r] = h1_c
-            stats_ref[r, 0:1, :] = mean1
-            stats_ref[r, 1:2, :] = rstd1
-            stats_ref[r, 2:3, :] = mean2
-            stats_ref[r, 3:4, :] = rstd2
+            stats_ref[r, 0:1, :] = rstd1
+            stats_ref[r, 1:2, :] = rstd2
 
     _pipeline(rp, bp * rp, stage_a, finish)
 
@@ -180,21 +188,19 @@ def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref,
     def stage_a(r, b):
         """Checkpoint restore + LN2 backward (VPU), dW2/dh1d matmuls (MXU)."""
         stats = stats_ref[r]
-        mean1, rstd1 = stats[0:1, :], stats[1:2, :]
-        mean2, rstd2 = stats[2:3, :], stats[3:4, :]
-        z1 = z1_ref[r].astype(jnp.float32)
-        z2 = z2_ref[r].astype(jnp.float32)
-        norm1 = (z1 - mean1) * rstd1
-        norm2 = (z2 - mean2) * rstd2
+        rstd1, rstd2 = stats[0:1, :], stats[1:2, :]
+        norm1 = z1_ref[r].astype(jnp.float32)     # checkpointed NORMALIZED
+        norm2 = z2_ref[r].astype(jnp.float32)
         a_f32 = norm1 * g1 + be1
         a = a_f32.astype(cdt)
         h1 = h1_ref[r]                                            # [F, T] cdt
         if drop:
-            keep_h = _dropout_mask(seed, b, _SALT_H, h1.shape, dropout_p)
-            h1_d = _apply_drop(h1.astype(jnp.float32), keep_h,
-                               dropout_p).astype(cdt)
+            # mask sign-encoded in the h1 checkpoint (see the forward): a
+            # positive value means kept AND h1 > 0 — exactly the positions
+            # where the relu+dropout backward passes gradient
+            h1_d = (jnp.maximum(h1.astype(jnp.float32), 0.0)
+                    * (1.0 / (1.0 - dropout_p))).astype(cdt)
         else:
-            keep_h = None
             h1_d = h1
         dy = dy_ref[r].astype(jnp.float32)                        # [D, T]
 
@@ -214,16 +220,17 @@ def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref,
                                   preferred_element_type=jnp.float32)  # [F,D]
         dh1d = jax.lax.dot_general(w2, df_c, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)  # [F,T]
-        return (norm1, rstd1, a, h1, keep_h, dz2, dg2, dbe2, db2, dw2, dh1d)
+        return (norm1, rstd1, a, h1, dz2, dg2, dbe2, db2, dw2, dh1d)
 
     def finish(r, b, st):
         """relu/dropout backward (VPU), dW1/da matmuls (MXU), LN1 backward
         + writes (VPU); parameter gradients accumulate into ``acc``."""
-        (norm1, rstd1, a, h1, keep_h, dz2, dg2, dbe2, db2, dw2, dh1d) = st
-        dh1 = dh1d
-        if drop:
-            dh1 = _apply_drop(dh1, keep_h, dropout_p)
-        dh1 = jnp.where(h1.astype(jnp.float32) > 0.0, dh1, 0.0)
+        (norm1, rstd1, a, h1, dz2, dg2, dbe2, db2, dw2, dh1d) = st
+        # gradient passes exactly where the sign-encoded checkpoint is
+        # positive (kept by dropout AND h1 > 0): relu and dropout backward
+        # collapse into one select
+        scale_h = (1.0 / (1.0 - dropout_p)) if drop else 1.0
+        dh1 = jnp.where(h1.astype(jnp.float32) > 0.0, dh1d * scale_h, 0.0)
         dh1_c = dh1.astype(cdt)
         db1 = jnp.sum(dh1, axis=1, keepdims=True)                 # [F, 1]
         dw1 = jax.lax.dot_general(a, dh1_c, (((1,), (1,)), ((), ())),
@@ -300,12 +307,12 @@ def _ffn_fwd_call(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
     out_shape = [jax.ShapeDtypeStruct((batch, d, t), cdt)]       # y
     if save:  # checkpoints for the backward
         out_specs += [_bt(rp, (d, t)), _bt(rp, (d, t)), _bt(rp, (f, t)),
-                      _bt(rp, (4, t))]
+                      _bt(rp, (2, t))]
         out_shape += [
             jax.ShapeDtypeStruct((batch, d, t), cdt),            # z1
             jax.ShapeDtypeStruct((batch, d, t), cdt),            # z2
             jax.ShapeDtypeStruct((batch, f, t), cdt),            # h1
-            jax.ShapeDtypeStruct((batch, 4, t), jnp.float32),    # LN stats
+            jax.ShapeDtypeStruct((batch, 2, t), jnp.float32),    # LN stats
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(batch // rp,),
@@ -338,7 +345,7 @@ def _ffn_bwd_call(x, o, w1, b1, w2, g1, be1, g2, be2, seed,
                   _res((f, 1)), _res(w2.shape), _res((d, 1)), _res((d, 1)),
                   _res((d, 1)), _res((d, 1)),
                   _bt(rp, (d, t)), _bt(rp, (d, t)), _bt(rp, (f, t)),
-                  _bt(rp, (4, t)), _bt(rp, (d, t))],
+                  _bt(rp, (2, t)), _bt(rp, (d, t))],
         out_specs=[_bt(rp, (d, t)), _bt(rp, (d, t)),
                    _res((d, f)), _res((f, 1)), _res((f, d)), _res((d, 1)),
                    _res((d, 1)), _res((d, 1)), _res((d, 1)), _res((d, 1))])
