@@ -500,10 +500,14 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
 
 
 def _pipe_depth() -> int:
-    """Heads in flight ahead of the finish phase (COMMU_PIPE_DEPTH; depth 1
-    measured best — deeper lookahead costs VMEM without more overlap)."""
+    """Heads in flight ahead of the finish phase (COMMU_PIPE_DEPTH).
+
+    Depth 1 measured best while the finish phase was VPU-heavy (round 1);
+    after the sign-encoded-checkpoint rewrite shrank the vector phases,
+    depth 3 buys ~1.6 ms/step at the training shape (98.3 -> 96.7 ms) —
+    deeper lookahead beyond that costs VMEM without more overlap."""
     import os
-    return int(os.environ.get("COMMU_PIPE_DEPTH", "1"))
+    return int(os.environ.get("COMMU_PIPE_DEPTH", "3"))
 
 
 def _bwd_pipeline(hp, hg, stage_a, finish):
