@@ -905,19 +905,31 @@ def _bwd_call_mem(kernel_fn, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r,
       mask, do, e)
 
 
-def _proj_mem_kernel(mem_ref, wk_ref, wv_ref, k_ref, v_ref, *, heads):
-    """Per batch row: project all R ring slabs of one layer through the k
-    and v weights — ONE read of the memory serves both projections."""
+def _proj_mem_kernel(mem_ref, wk_ref, wv_ref, k_ref, v_ref, *, heads, rp):
+    """Per batch-row group: project all R ring slabs of one layer through
+    the k and v weights — ONE read of the memory serves both projections."""
     r_blocks = mem_ref.shape[1]
-    for r in range(r_blocks):
-        m = mem_ref[0, r, 0]                                     # [D, Tb]
-        k = jax.lax.dot_general(wk_ref[...], m, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        v = jax.lax.dot_general(wv_ref[...], m, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        hdh, t_blk = k.shape
-        k_ref[0, r] = k.reshape(heads, hdh // heads, t_blk).astype(k_ref.dtype)
-        v_ref[0, r] = v.reshape(heads, hdh // heads, t_blk).astype(v_ref.dtype)
+    for row in range(rp):
+        for r in range(r_blocks):
+            m = mem_ref[0, r, row]                               # [D, Tb]
+            k = jax.lax.dot_general(wk_ref[...], m, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            v = jax.lax.dot_general(wv_ref[...], m, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            hdh, t_blk = k.shape
+            k_ref[row, r] = k.reshape(heads, hdh // heads,
+                                      t_blk).astype(k_ref.dtype)
+            v_ref[row, r] = v.reshape(heads, hdh // heads,
+                                      t_blk).astype(v_ref.dtype)
+
+
+def _proj_rp(batch: int) -> int:
+    """Batch rows per projection program (COMMU_PROJ_RP)."""
+    import os
+    rp = int(os.environ.get("COMMU_PROJ_RP", "2"))
+    while rp > 1 and batch % rp != 0:
+        rp -= 1
+    return rp
 
 
 def project_mem_kv(mem, layer_idx, wk3, wv3):
@@ -928,28 +940,33 @@ def project_mem_kv(mem, layer_idx, wk3, wv3):
     einsum route materializes every interior layer slice (~4 ms/step of pure
     copies at the training shape) and runs the projection convolutions well
     off peak; here the layer slice is a block DMA, the memory is read ONCE
-    for both k and v, and the matmuls run at native MXU shape."""
+    for both k and v, and the matmuls run at native MXU shape.  (Projecting
+    INSIDE the attention kernels instead was tried and reverted: the HBM
+    round trips this kernel's outputs cost are fully overlapped, so the
+    duplicated fwd+bwd projection FLOPs regressed the step 98 -> 115 ms.)"""
     l1, r_blocks, batch, d_model, t_blk = mem.shape
     heads, dh = wk3.shape[1], wk3.shape[2]
     wk = wk3.reshape(d_model, heads * dh).astype(mem.dtype)
     wv = wv3.reshape(d_model, heads * dh).astype(mem.dtype)
+    rp = _proj_rp(batch)
 
-    mem_spec = pl.BlockSpec((1, r_blocks, 1, d_model, t_blk),
+    mem_spec = pl.BlockSpec((1, r_blocks, rp, d_model, t_blk),
                             lambda b: (layer_idx, 0, b, 0, 0),
                             memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((d_model, heads * dh), lambda b: (0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, r_blocks, heads, dh, t_blk),
+    out_spec = pl.BlockSpec((rp, r_blocks, heads, dh, t_blk),
                             lambda b: (b, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((batch, r_blocks, heads, dh, t_blk),
                                      mem.dtype)
     return pl.pallas_call(
-        functools.partial(_proj_mem_kernel, heads=heads),
-        grid=(batch,),
+        functools.partial(_proj_mem_kernel, heads=heads, rp=rp),
+        grid=(batch // rp,),
         in_specs=[mem_spec, w_spec, w_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[out_shape, out_shape],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(mem, wk, wv)
 

@@ -87,18 +87,26 @@ def _ln_bwd(dy, norm, rstd, g):
     return rstd * (dnorm - m1 - norm * m2)
 
 
+def _ffn_depth() -> int:
+    """Rows in flight ahead of the finish phase (COMMU_FFN_DEPTH; capped by
+    rows-per-program - 1 in ``_pipeline``)."""
+    import os
+    return int(os.environ.get("COMMU_FFN_DEPTH", "3"))
+
+
 def _pipeline(rp, base, stage_a, finish):
     """Software-pipelined row loop: row r+1's stage A (which ends in a
     matmul) is emitted BEFORE row r's finish phase, interleaving independent
     MXU and VPU work across the rows of one program (same reasoning as the
     attention kernels' head pipelining)."""
-    pend = None
+    depth = max(1, _ffn_depth())
+    pend = []
     for r in range(rp):
-        a = stage_a(r, base + r)
-        if pend is not None:
-            finish(*pend)
-        pend = (r, base + r, a)
-    finish(*pend)
+        pend.append((r, base + r, stage_a(r, base + r)))
+        if len(pend) > depth:
+            finish(*pend.pop(0))
+    for st in pend:
+        finish(*st)
 
 
 def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -278,10 +286,15 @@ def _col(v):
 
 
 def _rows_per_program(batch: int) -> int:
-    """2 rows per program when the batch allows: the pipelined row pair
-    overlaps one row's matmuls with the other's LayerNorm/dropout vector
-    work (a single row is a strict VPU->MXU->VPU->MXU->VPU chain)."""
-    return 2 if batch % 2 == 0 else 1
+    """Rows per program (COMMU_FFN_RP, default 2 when the batch allows):
+    the pipelined rows overlap one row's matmuls with another's
+    LayerNorm/dropout vector work (a single row is a strict
+    VPU->MXU->VPU->MXU->VPU chain)."""
+    import os
+    rp = int(os.environ.get("COMMU_FFN_RP", "4"))
+    while rp > 1 and batch % rp != 0:
+        rp -= 1
+    return rp
 
 
 def _bt(rp, shape):  # rows-per-program [rp, rows, T] block
