@@ -585,12 +585,17 @@ def token_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def gumbel_softmax(logits: jnp.ndarray, temperature: float,
-                   rng: jax.Array) -> jnp.ndarray:
+                   rng: jax.Array = None, *,
+                   u_noise: jnp.ndarray = None) -> jnp.ndarray:
     """Straight-through Gumbel-softmax over the vocabulary: hard one-hot in
     the forward pass, soft-sample gradients in the backward
-    (reference: model.py:630-676 ``forward_generate_gumbel``'s sampler)."""
+    (reference: model.py:630-676 ``forward_generate_gumbel``'s sampler).
+
+    ``u_noise`` injects the uniform draw directly (differential tests share
+    one draw with the reference's torch sampler); otherwise ``rng`` draws it.
+    """
     eps = 1e-20
-    u = jax.random.uniform(rng, logits.shape)
+    u = jax.random.uniform(rng, logits.shape) if u_noise is None else u_noise
     g = -jnp.log(-jnp.log(u + eps) + eps)
     y = jax.nn.softmax((logits + g) / temperature, axis=-1)
     hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1],
@@ -600,9 +605,11 @@ def gumbel_softmax(logits: jnp.ndarray, temperature: float,
 
 def forward_generate_gumbel(model: "TransformerXL", params, tokens: jnp.ndarray,
                             memory: Memory, temperature: float,
-                            rng: jax.Array):
+                            rng: jax.Array = None, *,
+                            u_noise: jnp.ndarray = None):
     """(one-hot gumbel samples [B, T, V], new memory) — functional equivalent
     of the reference's ``forward_generate_gumbel`` (model.py:630-676)."""
     logits, new_memory = model.apply({"params": params}, tokens, memory,
                                      deterministic=True)
-    return gumbel_softmax(logits, temperature, rng), new_memory
+    return gumbel_softmax(logits, temperature, rng,
+                          u_noise=u_noise), new_memory
