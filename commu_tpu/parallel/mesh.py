@@ -95,17 +95,49 @@ def _train_memory_shardings(mesh: Mesh, transposed: bool = False):
         count=replicated(mesh), head=replicated(mesh), transposed=transposed)
 
 
-def shard_train_step(train_step, mesh: Mesh, transposed: bool = False):
+def _train_memory_specs(transposed: bool):
+    from ..training.step import TrainMemory
+    if transposed:
+        spec = P(None, None, None, DATA_AXIS)
+    else:
+        spec = P(None, None, DATA_AXIS)
+    return TrainMemory(hidden=spec, count=P(), head=P(), transposed=transposed)
+
+
+def _memory_specs(transposed: bool):
+    from ..models.transformer_xl import Memory
+    spec = P(None, None, DATA_AXIS) if transposed else P(None, DATA_AXIS)
+    return Memory(hidden=spec, count=P(), head=P(), transposed=transposed)
+
+
+def shard_train_step(train_step, mesh: Mesh, transposed: bool = False,
+                     manual: bool = False):
     """jit the train step with DP shardings.
 
     (state, memory, inputs, targets, reset, rng) -> (state, memory, metrics)
     State replicated; memory and batch sharded; metrics replicated scalars.
     ``transposed`` must match the TrainMemory the step will be fed (it is
     static pytree metadata on the memory container).
+
+    ``manual``: wrap in ``jax.shard_map`` instead of relying on the SPMD
+    partitioner — REQUIRED for the Pallas path on a >1-device mesh (the
+    partitioner cannot shard a Mosaic custom call: it all-gathers the batch
+    and replicates the kernel on every chip).  The step must then have been
+    built with ``make_train_step(..., axis_name=DATA_AXIS)`` so it performs
+    its own grad ``pmean`` / metric ``psum`` — XLA lowers those onto ICI
+    exactly like the implicit ones of the automatic path.
     """
     rep = replicated(mesh)
     bat = batch_sharding(mesh)
     mem = _train_memory_shardings(mesh, transposed)
+    if manual:
+        train_step = jax.shard_map(
+            train_step, mesh=mesh,
+            in_specs=(P(), _train_memory_specs(transposed),
+                      P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), _train_memory_specs(transposed), P()),
+            check_vma=False,
+        )
     return jax.jit(
         train_step,
         in_shardings=(rep, mem, bat, bat, bat, rep),
@@ -114,14 +146,25 @@ def shard_train_step(train_step, mesh: Mesh, transposed: bool = False):
     )
 
 
-def shard_eval_step(eval_step, mesh: Mesh, transposed: bool = False):
+def shard_eval_step(eval_step, mesh: Mesh, transposed: bool = False,
+                    manual: bool = False):
     """jit the eval step with DP shardings.
 
     (params, memory, inputs, targets, reset) -> (nll_sum, token_count, memory)
+    ``manual``: see shard_train_step — pair with
+    ``make_eval_step(..., axis_name=DATA_AXIS)``.
     """
     rep = replicated(mesh)
     bat = batch_sharding(mesh)
     mem = _memory_shardings(mesh, transposed)
+    if manual:
+        eval_step = jax.shard_map(
+            eval_step, mesh=mesh,
+            in_specs=(P(), _memory_specs(transposed),
+                      P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P(), _memory_specs(transposed)),
+            check_vma=False,
+        )
     return jax.jit(
         eval_step,
         in_shardings=(rep, mem, bat, bat, bat),

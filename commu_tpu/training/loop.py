@@ -70,12 +70,20 @@ class Trainer:
         self.dataset = ComMUDataset(data_dir)
         self.model = TransformerXL(VOCAB_SIZE, self.cfg.model, dtype=model_dtype)
         transposed = self._transposed_mem()
+        # Pallas kernels on a >1-device mesh need MANUAL SPMD (shard_map +
+        # explicit grad pmean): the partitioner cannot shard a Mosaic custom
+        # call and would all-gather the batch onto every chip.  One device
+        # keeps the plain jit (identical semantics, no wrapper).
+        from ..parallel.mesh import DATA_AXIS
+        manual = transposed and self.num_devices > 1
+        axis = DATA_AXIS if manual else None
         self.train_step = shard_train_step(
-            make_train_step(self.model, self.cfg, self.num_devices), self.mesh,
-            transposed=transposed)
+            make_train_step(self.model, self.cfg, self.num_devices,
+                            axis_name=axis),
+            self.mesh, transposed=transposed, manual=manual)
         self.eval_step = shard_eval_step(
-            make_eval_step(self.model, same_length=True), self.mesh,
-            transposed=transposed)
+            make_eval_step(self.model, same_length=True, axis_name=axis),
+            self.mesh, transposed=transposed, manual=manual)
 
         rng = jax.random.PRNGKey(tcfg.seed)
         self.init_rng, self.run_rng = jax.random.split(rng)

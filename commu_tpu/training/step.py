@@ -174,7 +174,8 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
                     num_devices: int = 1,
                     *, remat: Optional[bool] = None,
                     unroll: bool = False,
-                    physical_chunks: Optional[int] = None) -> Callable:
+                    physical_chunks: Optional[int] = None,
+                    axis_name: Optional[str] = None) -> Callable:
     """Build the train step: (state, memory, batch, rng) -> updated.
 
     The batch is processed as ``batch_chunk`` micro-batches via ``lax.scan``
@@ -185,6 +186,15 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
     reference's per-chunk ``mems[i]`` streams.  ``remat`` rematerializes the
     per-chunk forward during the backward pass, dropping stored attention
     probabilities in exchange for ~1/3 more FLOPs.
+
+    ``axis_name``: build for MANUAL data parallelism (``jax.shard_map`` over
+    that mesh axis, see commu_tpu.parallel.shard_train_step(manual=True)).
+    The step then sees its per-device batch/memory shard and reduces
+    explicitly — grads via ``pmean`` (the DDP average, reference
+    train.py:467-473), metric sums via ``psum``.  This is how the Pallas
+    kernels scale over a pod: the SPMD partitioner cannot partition a Mosaic
+    custom call, so under plain ``jit`` sharding it all-gathers the batch and
+    every chip computes all rows.
     """
     tx = make_optimizer(cfg, num_devices)
     # LOSS semantics always follow cfg.train.batch_chunk (the reference's
@@ -195,7 +205,11 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
     sem_chunks = cfg.train.batch_chunk
     n_chunks = resolve_physical_chunks(cfg, physical_chunks)
     assert sem_chunks % n_chunks == 0, (sem_chunks, n_chunks)
-    sem_per_physical = (sem_chunks // n_chunks) * num_devices
+    # Manual DP: each device splits its local physical chunk into its own
+    # sem/n sub-chunks and the cross-device mean is the grad pmean below —
+    # same global mean-of-(rank x chunk)-means, computed shard-locally.
+    sem_per_physical = (sem_chunks // n_chunks) * (
+        1 if axis_name else num_devices)
     clip = cfg.train.clip
     if remat is None:
         # the fused kernel never materializes attention probabilities, so the
@@ -242,6 +256,11 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
     def train_step(state: TrainState, memory: TrainMemory, inputs, targets,
                    reset, rng: jax.Array):
         base_rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            # decorrelate dropout across shards (the in-kernel PRNG seeds by
+            # LOCAL row index, which repeats across shards)
+            base_rng = jax.random.fold_in(
+                base_rng, jax.lax.axis_index(axis_name))
         batch = inputs.shape[0]
         b = batch // n_chunks
 
@@ -338,6 +357,14 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         return _finish(state, new_memory, grads, nll_sum, token_count)
 
     def _finish(state, new_memory, grads, nll_sum, token_count):
+        if axis_name is not None:
+            # explicit DDP-style reductions (reference: the implicit DDP
+            # gradient allreduce at train.py:155 + metric all_reduces at
+            # train.py:172-174); clip AFTER the reduction, on the global
+            # gradient, exactly like clip_grad_norm_ on the DDP module
+            grads = jax.lax.pmean(grads, axis_name)
+            nll_sum = jax.lax.psum(nll_sum, axis_name)
+            token_count = jax.lax.psum(token_count, axis_name)
         grads, grad_norm = _clip_by_global_norm(grads, clip)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -350,9 +377,12 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
     return train_step
 
 
-def make_eval_step(model: TransformerXL, *, same_length: bool = True) -> Callable:
+def make_eval_step(model: TransformerXL, *, same_length: bool = True,
+                   axis_name: Optional[str] = None) -> Callable:
     """Windowed eval step (reference: train.py:74-110): returns the masked
-    NLL sum and token count for one ``bptt`` window, carrying XL memory."""
+    NLL sum and token count for one ``bptt`` window, carrying XL memory.
+    ``axis_name``: manual-DP variant (see make_train_step) — the per-shard
+    sums are psum'd so every device returns the global totals."""
 
     from ..models.transformer_xl import resolve_attn_impl as _impl
     fused_nll = _impl(model.cfg) == "pallas"
@@ -373,6 +403,10 @@ def make_eval_step(model: TransformerXL, *, same_length: bool = True) -> Callabl
                 same_length=same_length, deterministic=True)
             nll = token_nll(logits, targets)
         mask = (targets != PAD_ID).astype(jnp.float32)
-        return (nll * mask).sum(), mask.sum(), new_memory
+        nll_sum, token_count = (nll * mask).sum(), mask.sum()
+        if axis_name is not None:
+            nll_sum = jax.lax.psum(nll_sum, axis_name)
+            token_count = jax.lax.psum(token_count, axis_name)
+        return nll_sum, token_count, new_memory
 
     return eval_step

@@ -146,6 +146,104 @@ def test_mesh_step_matches_single_device():
                         rel_tol=1e-4)
 
 
+def test_manual_mesh_step_matches_single_device_pallas_transposed():
+    """The PRODUCTION multi-chip layout: pallas kernels (interpret mode on
+    CPU), transposed blocked-ring TrainMemory, manual SPMD via shard_map with
+    explicit grad pmean — vs the plain single-device pallas jit step.
+
+    Also asserts the scaling property that motivates the manual path: the
+    compiled module contains NO all-gather (the automatic partitioner
+    all-gathers the batch around a pallas call, replicating all compute on
+    every device)."""
+    import re
+
+    from commu_tpu.parallel.mesh import DATA_AXIS
+    from commu_tpu.training.step import resolve_physical_chunks
+
+    cfg = TrainingConfig(
+        model=ModelConfig(num_layers=2, num_heads=2, units=32, inner_size=64,
+                          dropout=0.0, attention_dropout=0.0,
+                          attn_impl="pallas"),
+        train=TrainConfig(batch_size=8, batch_chunk=2, tgt_length=16,
+                          mem_length=32, lr=8e-3, warmup_step=5, max_step=50),
+        evaluate=EvaluateConfig(batch_size=8, tgt_length=16, mem_length=32),
+    )
+    model = TransformerXL(VOCAB, cfg.model, dtype=jnp.float32)
+    physical = resolve_physical_chunks(cfg)
+
+    def mk_mem():
+        return init_train_memory(cfg.model.num_layers, 8, cfg.train.mem_length,
+                                 cfg.model.units, physical, transposed=True,
+                                 block_len=cfg.train.tgt_length)
+
+    state1 = create_train_state(jax.random.PRNGKey(0), model, cfg)
+    state4 = create_train_state(jax.random.PRNGKey(0), model, cfg)
+    step1 = jax.jit(make_train_step(model, cfg, physical_chunks=physical))
+    mesh = make_mesh(4)
+    step4 = shard_train_step(
+        make_train_step(model, cfg, physical_chunks=physical,
+                        axis_name=DATA_AXIS),
+        mesh, transposed=True, manual=True)
+    mem1, mem4 = mk_mem(), mk_mem()
+
+    rng = np.random.RandomState(11)
+    key = jax.random.PRNGKey(2)
+    first = _batch(rng, t=16)
+
+    txt = step4.lower(state4, mem4, *first, key).compile().as_text()
+    assert not re.findall(r"all-gather", txt)
+    assert re.findall(r"all-reduce", txt)  # the grad pmean / metric psums
+
+    batch = first
+    for i in range(3):
+        state1, mem1, m1 = step1(state1, mem1, *batch, key)
+        state4, mem4, m4 = step4(state4, mem4, *batch, key)
+        batch = _batch(rng, t=16)
+    assert math.isclose(float(m1["nll_sum"]), float(m4["nll_sum"]),
+                        rel_tol=1e-5)
+    assert float(m1["token_count"]) == float(m4["token_count"])
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mem1.hidden), np.asarray(mem4.hidden),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_manual_mesh_eval_matches_single_device_pallas_transposed():
+    """Manual-SPMD eval step (psum'd sums) over the blocked-ring Memory vs
+    the single-device eval step."""
+    from commu_tpu.parallel import shard_eval_step
+    from commu_tpu.parallel.mesh import DATA_AXIS
+    from commu_tpu.training.step import make_eval_step
+
+    cfg_m = ModelConfig(num_layers=2, num_heads=2, units=32, inner_size=64,
+                        dropout=0.0, attention_dropout=0.0,
+                        attn_impl="pallas")
+    tcfg = TrainingConfig(model=cfg_m)
+    model = TransformerXL(VOCAB, cfg_m, dtype=jnp.float32)
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg)
+
+    def mk_mem():
+        return init_memory(cfg_m.num_layers, 8, 32, cfg_m.units,
+                           transposed=True, block_len=16)
+
+    ev1 = jax.jit(make_eval_step(model, same_length=True))
+    mesh = make_mesh(4)
+    ev4 = shard_eval_step(
+        make_eval_step(model, same_length=True, axis_name=DATA_AXIS),
+        mesh, transposed=True, manual=True)
+
+    rng = np.random.RandomState(5)
+    mem1, mem4 = mk_mem(), mk_mem()
+    for _ in range(2):
+        inputs, targets, reset = _batch(rng, t=16)
+        n1, t1, mem1 = ev1(state.params, mem1, inputs, targets, reset)
+        n4, t4, mem4 = ev4(state.params, mem4, inputs, targets, reset)
+        assert math.isclose(float(n1), float(n4), rel_tol=1e-5)
+        assert float(t1) == float(t4)
+
+
 def test_checkpoint_resume_roundtrip(tmp_path):
     from commu_tpu.training.checkpoint import CheckpointManager
 
