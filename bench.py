@@ -84,7 +84,28 @@ def main():
         "value": round(tokens_per_sec, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+    # Generation latency suite (corpus-real episode lengths, batch 1/8/32):
+    # emitted as a sibling JSON file so the driver's bench step records it
+    # alongside the training metric (VERDICT r2 #6).  COMMU_BENCH_GEN=0
+    # skips it; failures never disturb the training metric above.
+    if os.environ.get("COMMU_BENCH_GEN", "1") != "0":
+        import sys
+        import traceback
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from bench_generation import run_suite
+            res = run_suite(batches=(1, 8, 32), rounds=5)
+            out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_generation.json")
+            with open(out, "w") as fh:
+                json.dump(res, fh, indent=1)
+                fh.write("\n")
+            print(f"generation suite written to {out}", file=sys.stderr)
+        except Exception:  # noqa: BLE001 - bench must not fail the metric
+            traceback.print_exc()
 
 
 if __name__ == "__main__":

@@ -83,7 +83,7 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
     gen_len = icfg.generation_length
 
     def body(args):
-        state, chord_tok, chord_pos, inter_flag, length_fit = args
+        state, chord_tok, chord_pos, inter_flag, length_fit, row_cap = args
         G = state.seq.shape[0]
         active = ~(state.done | state.failed)
 
@@ -187,6 +187,9 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
 
         new_last = _gather_row(seq, seq_len - 1)
         done = state.done | (active & (new_last == EOS_ID))
+        # benchmarking hook: rows terminate once they reach their cap
+        # (row_cap == seq_buf in production, so this never fires there)
+        done = done | (seq_len >= row_cap)
         failed = state.failed | fail_now
 
         new_state = SamplerState(
@@ -195,7 +198,8 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
             chord_head=chord_head, chord_rem=chord_rem, bar_count=bar_count,
             incomplete_filled=incomplete_filled, done=done, failed=failed,
             it=state.it + 1, key=key)
-        return (new_state, chord_tok, chord_pos, inter_flag, length_fit)
+        return (new_state, chord_tok, chord_pos, inter_flag, length_fit,
+                row_cap)
 
     def cond(args):
         state = args[0]
@@ -203,10 +207,12 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
 
     @jax.jit
     def episode(primer, encoded_meta_last, chord_tok, chord_pos, inter_flag,
-                chord_count, length_fit, incomplete, key):
+                chord_count, length_fit, incomplete, key, row_cap):
         """primer: [G, 11] ([pad]+meta[:10]); encoded_meta_last: [G] the 11th
         meta token; chord_*: [G, C] padded schedules; chord_count: [G];
-        incomplete: [G] bool (num_measures % 4 != 0)."""
+        incomplete: [G] bool (num_measures % 4 != 0); row_cap: [G] int32
+        per-row sequence-length terminator (== seq_buf in production — a
+        benchmarking hook for corpus-real episode lengths)."""
         G = primer.shape[0]
         cache = init_cache(cfg, G, capacity,
                            dtype=params["embedding"].dtype)
@@ -234,7 +240,8 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
             key=key)
         out = jax.lax.while_loop(
             cond, body,
-            (state, chord_tok, chord_pos, inter_flag, length_fit))
+            (state, chord_tok, chord_pos, inter_flag, length_fit,
+             row_cap.astype(jnp.int32)))
         return out[0]
 
     return episode
@@ -283,17 +290,22 @@ def build_episode(model, params, cfg: ModelConfig, icfg: InferenceConfig,
 
 
 def run_episode(episode, chord_cap: int, inputs: List,
-                encoded_metas: List[List[int]], key: jax.Array):
+                encoded_metas: List[List[int]], key: jax.Array,
+                row_cap: Optional[np.ndarray] = None):
     """One batched episode over heterogeneous prompts; returns
-    (sequences as python lists, failed flags, chord_rem)."""
+    (sequences as python lists, failed flags, chord_rem).  ``row_cap``:
+    optional [G] per-row sequence-length terminator (benchmarking)."""
     G = len(inputs)
     tok, pos, inter, count, fit, measures, incomplete = _schedule_arrays(
         inputs, chord_cap)
     primer = np.array([[0] + list(m[:-1]) for m in encoded_metas], dtype=np.int32)
     meta_last = np.array([m[-1] for m in encoded_metas], dtype=np.int32)
 
+    if row_cap is None:
+        # seq_buf is not visible here; INT32_MAX-ish cap never fires
+        row_cap = np.full((G,), 2 ** 30, dtype=np.int32)
     state = episode(primer, meta_last, tok, pos, inter, count, fit,
-                    incomplete, key)
+                    incomplete, key, np.asarray(row_cap, dtype=np.int32))
     seqs = np.asarray(state.seq)
     lens = np.asarray(state.seq_len)
     failed = np.asarray(state.failed)

@@ -455,7 +455,16 @@ class TransformerXL(nn.Module):
         mem_capacity = memory_capacity(memory)
         klen = mem_capacity + tgt_len
 
-        word_emb = self.embed(tokens)
+        pallas_impl = resolve_attn_impl(cfg) == "pallas"
+        if pallas_impl:
+            # T-minor lookup with the matmul-based backward (ops.embed):
+            # XLA's gather cotangent costs a relayout + serialized
+            # scatter-add (~1.2 ms/step at the training shape)
+            from ..ops.embed import embed_bdt
+            word_emb = embed_bdt(self.embedding, tokens,
+                                 self.cfg.units ** 0.5, self.dtype)
+        else:
+            word_emb = self.embed(tokens)
         mem_hidden = memory.hidden
 
         if resolve_attn_impl(cfg) == "pallas":
@@ -489,12 +498,10 @@ class TransformerXL(nn.Module):
             pallas_ctx = None
 
         pallas = pallas_ctx is not None
-        if pallas:
-            # the pallas layer stack carries activations T-minor ([B, D, T])
-            # end to end — one transpose here (fused into the gather/dropout)
-            # replaces a relayout copy per layer per consumer
-            word_emb = jnp.swapaxes(word_emb, 1, 2)
-        h = self.emb_dropout(word_emb, deterministic=deterministic)
+        # the pallas layer stack carries activations T-minor ([B, D, T]) end
+        # to end; embed_bdt above already produced that orientation
+        h = self._activation_dropout(word_emb, deterministic, pallas,
+                                     self.emb_dropout, 0)
 
         hids = [h]
         for i, layer in enumerate(self.layers):
@@ -505,7 +512,8 @@ class TransformerXL(nn.Module):
                       self.r_w_bias, self.r_r_bias, mask, deterministic,
                       pallas_ctx, i)
             hids.append(h)
-        out = self.out_dropout(h, deterministic=deterministic)
+        out = self._activation_dropout(h, deterministic, pallas,
+                                       self.out_dropout, 1)
         if pallas:
             # public contract stays [B, T, D]; consumers that want the
             # T-minor orientation (the fused NLL) swap back — an exact
@@ -519,36 +527,58 @@ class TransformerXL(nn.Module):
             return out, new_memory, hids
         return out, new_memory
 
+    def _activation_dropout(self, x, deterministic: bool, pallas: bool,
+                            flax_drop: nn.Dropout, site: int):
+        """Embedding-input / decoder-output dropout (reference: the
+        drop(word_emb) / drop(core_out) sites, model.py:585-599).  On the
+        pallas path the mask comes from the in-kernel TPU PRNG
+        (ops.dropout.dropout_bdt) — the XLA threefry draw costs ~0.4 ms per
+        site per step at the training shape; elsewhere flax Dropout."""
+        p = self.cfg.dropout
+        if not pallas or deterministic or p <= 0.0:
+            return flax_drop(x, deterministic=deterministic)
+        from ..ops.dropout import SALT_EMB, SALT_OUT, dropout_bdt
+        seed = jax.random.randint(
+            self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32)
+        return dropout_bdt(x, seed, p, SALT_EMB if site == 0 else SALT_OUT)
+
     def _update_memory(self, memory: Memory, hids,
                        t_minor: bool = False) -> Memory:
         """``t_minor``: hids are [B, D, T] (the pallas stack's orientation);
         otherwise [B, T, D]."""
         mem_capacity = memory_capacity(memory)
         tgt_len = hids[0].shape[2] if t_minor else hids[0].shape[1]
-        stacked = jax.lax.stop_gradient(
-            jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
+        rows = [jax.lax.stop_gradient(h.astype(memory.hidden.dtype))
+                for h in hids]
         new_count = jnp.minimum(memory.count + tgt_len, mem_capacity)
         ring = (resolve_attn_impl(self.cfg) == "pallas"
                 and 0 < tgt_len <= mem_capacity
                 and mem_capacity % tgt_len == 0)
-        if ring:
-            if memory.transposed:
-                # ONE contiguous slab write into the aliased ring buffer —
-                # ``stacked`` is already slab-oriented [L+1, B, D, T]
-                # (see commu_tpu.ops.layout.ring_write)
-                from ..ops.layout import ring_write
-                assert memory.hidden.shape[4] == tgt_len, \
-                    (memory.hidden.shape, tgt_len)
+        if ring and memory.transposed:
+            # per-layer contiguous slab writes into the aliased ring buffer —
+            # each layer's rows are already slab-oriented [B, D, T], written
+            # without stacking (commu_tpu.ops.layout.ring_write_layer)
+            assert memory.hidden.shape[4] == tgt_len, \
+                (memory.hidden.shape, tgt_len)
+            from ..ops.layout import ring_write_layer
+            new_hidden = memory.hidden
+            block = memory.head // tgt_len
+            for i, r in enumerate(rows):
                 if not t_minor:
-                    stacked = jnp.swapaxes(stacked, 2, 3)
-                new_hidden = ring_write(memory.hidden, stacked,
-                                        memory.head // tgt_len, axis=1)
-            else:
-                # tests/back-compat: right-aligned [L+1, B, M, D] buffer
-                if t_minor:
-                    stacked = jnp.swapaxes(stacked, 2, 3)
-                new_hidden = jax.lax.dynamic_update_slice(
-                    memory.hidden, stacked, (0, 0, memory.head, 0))
+                    r = jnp.swapaxes(r, 1, 2)
+                new_hidden = ring_write_layer(new_hidden, r, i, block,
+                                              layer_axis=0, ring_axis=1)
+            new_head = jnp.mod(memory.head + tgt_len, mem_capacity)
+            return Memory(hidden=new_hidden, count=new_count, head=new_head,
+                          transposed=True)
+        stacked = jnp.stack(rows, axis=0)
+        if ring:
+            # tests/back-compat: right-aligned [L+1, B, M, D] buffer
+            if t_minor:
+                stacked = jnp.swapaxes(stacked, 2, 3)
+            new_hidden = jax.lax.dynamic_update_slice(
+                memory.hidden, stacked, (0, 0, memory.head, 0))
             new_head = jnp.mod(memory.head + tgt_len, mem_capacity)
             return Memory(hidden=new_hidden, count=new_count, head=new_head,
                           transposed=memory.transposed)

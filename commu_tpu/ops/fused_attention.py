@@ -279,19 +279,29 @@ def _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh):
     return k, v
 
 
-def _attn_scores(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
-                 mask_ref, b, h, hh, k, v):
+def _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale):
+    """The two query streams, IN-KERNEL: qw = q*scale + rwb*scale (content)
+    and qr likewise (position).  The scaled biases arrive as resident
+    [H, dh, 1] blocks (``_scaled_biases``) broadcast over the T lanes —
+    folding in-kernel removes the per-layer XLA fold fusion AND halves the
+    q-stream HBM traffic (one q operand instead of qw + qr, forward and
+    backward; ~130 MB/layer at the training shape)."""
+    q = q_ref[0, hh, :, :]                           # [dh, T]
+    qs = q * q.dtype.type(scale)
+    return qs + rwbs_ref[h], qs + rrbs_ref[h]
+
+
+def _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
+                 psi_ref, mask_ref, b, h, hh, k, v, scale):
     """Score phase (MXU): masked scores s f32 [T, K] plus this head's v.
 
     The content/position biases AND the 1/sqrt(dh) scale are folded into the
-    two query streams OUTSIDE the kernel (qw = (q + r_w_bias) * scale, ...):
-    tiny [1,1,dh] bias blocks deadlock the runtime's DMA path, and the fold
-    is free in XLA anyway.  Operands stay in their storage dtype (bf16 in
-    training): the MXU multiplies bf16 natively with f32 accumulation via
-    preferred_element_type — casting to f32 first would halve throughput.
+    two query streams in-kernel (``_fold_q``).  Operands stay in their
+    storage dtype (bf16 in training): the MXU multiplies bf16 natively with
+    f32 accumulation via preferred_element_type — casting to f32 first would
+    halve throughput.
     """
-    qw = qw_ref[0, hh, :, :]                         # [dh, T]
-    qr = qr_ref[0, hh, :, :]                         # [dh, T]
+    qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale)
     w_r = wr_ref[h]                                  # [dh, 512] (resident)
     psi = psi_ref[:, :]                              # [512, K]  (resident)
 
@@ -308,6 +318,19 @@ def _attn_scores(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
     return s, v
 
 
+def _softmax_clamp() -> bool:
+    """COMMU_SOFTMAX=clamp replaces the row-max subtraction with a fixed
+    clamp at +60 (exp(60) ~ 1e26; a 1152-key row sum stays < 1e30, far from
+    f32 overflow): softmax is shift-invariant, so for rows whose scores stay
+    below the clamp — all of them, in practice; trained XL scores sit well
+    under +-30 — the result is bit-comparable, and a pathological row
+    degrades smoothly toward uniform-over-top instead of overflowing.  Saves
+    a cross-lane max reduction plus a full [T, K] f32 subtract per head in
+    the forward's VPU-bound phase."""
+    import os
+    return os.environ.get("COMMU_SOFTMAX", "max") == "clamp"
+
+
 def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
     """Softmax phase (VPU): (probs post-dropout, checkpoint value).
 
@@ -317,8 +340,11 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
     |c| and probs = max(c, 0)/(1-p) — it never touches the PRNG.  (A
     dropped p_clean == 0 loses the sign, but probs there is 0 either way.)
     """
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
+    if _softmax_clamp():
+        e = jnp.exp(jnp.minimum(s, 60.0))
+    else:
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
     inv_denom = 1.0 / jnp.sum(e, axis=1, keepdims=True)              # [T,1]
     p_clean = e * inv_denom
     if train and dropout_p > 0.0:
@@ -331,9 +357,9 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
     return probs, chk
 
 
-def _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
-              mask_ref, o_ref, e_ref, head_kv, b, hg,
-              *, t, k_len, dropout_p, train, hp):
+def _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
+              psi_ref, mask_ref, o_ref, e_ref, head_kv, b, hg,
+              *, t, k_len, dropout_p, train, hp, scale):
     """Shared forward body: software-pipelined head loop over
     ``head_kv(hh) -> (k, v)`` (either DMA'd pre-projected halves or the
     pre-projected memory halves or the window-only case)."""
@@ -361,8 +387,9 @@ def _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
     for hh in range(hp):
         h = hg * hp + hh
         k, v = head_kv(hh)
-        s, v = _attn_scores(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref,
-                            psi_ref, mask_ref, b, h, hh, k, v)
+        s, v = _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref,
+                            trig_ref, psi_ref, mask_ref, b, h, hh, k, v,
+                            scale)
         pend.append((hh, h, s, v))
         if len(pend) > depth:
             finish(*pend.pop(0))
@@ -370,29 +397,29 @@ def _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
         finish(*st)
 
 
-def _fwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-                wr_ref, trig_ref, psi_ref, mask_ref, o_ref, e_ref=None,
-                *, t, k_len, dropout_p, train, hp):
+def _fwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
+                vm_ref, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, o_ref,
+                e_ref=None, *, t, k_len, dropout_p, train, hp, scale):
     b, hg = pl.program_id(0), pl.program_id(1)
-    _fwd_body(scalar_ref, qw_ref, qr_ref, wr_ref, trig_ref, psi_ref,
-              mask_ref, o_ref, e_ref,
+    _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
+              psi_ref, mask_ref, o_ref, e_ref,
               lambda hh: _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh),
               b, hg, t=t, k_len=k_len, dropout_p=dropout_p, train=train,
-              hp=hp)
+              hp=hp, scale=scale)
 
 
-def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-                wr_ref, trig_ref, psi_ref, mask_ref, do_ref, e_ref,
-                dq_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref,
+def _bwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
+                vm_ref, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, do_ref,
+                e_ref, dq_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref,
                 *, t, k_len, dropout_p, train, hp, scale):
     b, hg = pl.program_id(0), pl.program_id(1)
     m_cap = k_len - t
 
     def stage_a(h, hh):
-        return _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref,
-                            vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
+        return _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref,
+                            kw_ref, vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
                             t=t, k_len=k_len, dropout_p=dropout_p,
-                            train=train)
+                            train=train, scale=scale)
 
     def finish(hh, h, a):
         dq, dk, dv, dwr_wide = _bwd_stage_b(
@@ -409,15 +436,15 @@ def _bwd_kernel(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
     _bwd_pipeline(hp, hg, stage_a, finish)
 
 
-def _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref, vw_ref,
-                 do_ref, e_ref, b, h, hh, *, t, k_len, dropout_p, train):
+def _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
+                 vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
+                 *, t, k_len, dropout_p, train, scale):
     """Backward stage A for one head: restore the softmax state from the
     checkpointed normalized probabilities and run the first matmul pair
     (dv, dp).
     ``b``/``h`` are LOGICAL batch/head indices (the dropout mask regenerates
     from them, independent of grid order)."""
-    qw = qw_ref[0, hh, :, :]
-    qr = qr_ref[0, hh, :, :]
+    qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale)
     k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh)
     c = e_ref[0, hh, :, :].astype(jnp.float32)                       # [T,K]
     if train and dropout_p > 0.0:
@@ -536,14 +563,16 @@ def _scalars(dropout_seed, reset, batch):
     ])
 
 
-def _fold_bias(q, r_w_bias, r_r_bias, scale):
-    """(qw, qr) = ((q + bias) * scale) — the content/position query streams.
-    Computed INSIDE the custom-VJP boundary: the backward kernel emits the
-    fused q cotangent (dq_ac + dqr, one matmul) plus the tiny bias gradients
-    directly, so the separate [B, H, dh, T] dqr array never exists."""
-    qw = (q + r_w_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
-    qr = (q + r_r_bias[None, :, :, None].astype(q.dtype)) * q.dtype.type(scale)
-    return qw, qr
+def _scaled_biases(r_w_bias, r_r_bias, scale, dtype):
+    """Pre-scaled bias operands for the in-kernel query fold (``_fold_q``):
+    [H, dh, 1] blocks of bias * scale, resident in VMEM for the whole grid.
+    The fold itself lives INSIDE the custom-VJP boundary: the backward
+    kernel emits the fused q cotangent (dq_ac + dqr, one matmul) plus the
+    tiny bias gradients directly, so neither a separate [B, H, dh, T] qw/qr
+    pair nor a dqr array ever exists in HBM."""
+    rwbs = (r_w_bias.astype(jnp.float32) * scale).astype(dtype)[..., None]
+    rrbs = (r_r_bias.astype(jnp.float32) * scale).astype(dtype)[..., None]
+    return rwbs, rrbs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
@@ -569,21 +598,23 @@ def fused_core(q, r_w_bias, r_r_bias, k_win, v_win, w_r, trig_a, psi, mask,
     the kernel DMAs ever touch the 50->128 lane padding a head-minor layout
     pays.
     """
-    qw, qr = _fold_bias(q, r_w_bias, r_r_bias, scale)
-    out, _ = _fused_fwd(qw, qr, None, k_win, None, v_win, w_r, trig_a, psi,
-                        mask, scalars, dropout_p, train, save_e=False)
+    rwbs, rrbs = _scaled_biases(r_w_bias, r_r_bias, scale, q.dtype)
+    out, _ = _fused_fwd(q, rwbs, rrbs, None, k_win, None, v_win, w_r, trig_a,
+                        psi, mask, scalars, dropout_p, train, scale,
+                        save_e=False)
     return out
 
 
 def _mem_kernel(kernel_fn, has_mem):
-    """Adapt ref order: kernels take (scalars, qw, qr, [km,] kw, [vm,] vw,
-    wr, trig, psi, mask, [do], outs...); without memory km/vm are absent."""
+    """Adapt ref order: kernels take (scalars, q, rwbs, rrbs, [km,] kw,
+    [vm,] vw, wr, trig, psi, mask, [do], outs...); without memory km/vm are
+    absent."""
     if has_mem:
         return kernel_fn
 
-    def wrapped(scalar_ref, qw_ref, qr_ref, kw_ref, vw_ref, *rest):
-        return kernel_fn(scalar_ref, qw_ref, qr_ref, None, kw_ref, None,
-                         vw_ref, *rest)
+    def wrapped(scalar_ref, q_ref, rwbs_ref, rrbs_ref, kw_ref, vw_ref, *rest):
+        return kernel_fn(scalar_ref, q_ref, rwbs_ref, rrbs_ref, None, kw_ref,
+                         None, vw_ref, *rest)
     return wrapped
 
 
@@ -591,12 +622,12 @@ def _bwd_mem_kernel(kernel_fn, has_mem):
     if has_mem:
         return kernel_fn
 
-    def wrapped(scalar_ref, qw_ref, qr_ref, kw_ref, vw_ref, wr_ref, trig_ref,
-                psi_ref, mask_ref, do_ref, e_ref, dq_ref, dkw_ref,
-                dvw_ref, dwr_ref):
-        return kernel_fn(scalar_ref, qw_ref, qr_ref, None, kw_ref, None,
-                         vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, do_ref,
-                         e_ref, dq_ref, None, dkw_ref, None, dvw_ref,
+    def wrapped(scalar_ref, q_ref, rwbs_ref, rrbs_ref, kw_ref, vw_ref,
+                wr_ref, trig_ref, psi_ref, mask_ref, do_ref, e_ref, dq_ref,
+                dkw_ref, dvw_ref, dwr_ref):
+        return kernel_fn(scalar_ref, q_ref, rwbs_ref, rrbs_ref, None, kw_ref,
+                         None, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref,
+                         do_ref, e_ref, dq_ref, None, dkw_ref, None, dvw_ref,
                          dwr_ref)
     return wrapped
 
@@ -633,9 +664,9 @@ def heads_per_program(heads: int, role: str = "fwd") -> int:
     return 1
 
 
-def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
-                trig_a, psi, mask, scalars, extra=(), hp=None):
-    batch, heads, dh, t = qw.shape
+def _fused_call(kernel_fn, outs, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win,
+                w_r, trig_a, psi, mask, scalars, extra=(), hp=None):
+    batch, heads, dh, t = q.shape
     # k_mem/v_mem are BLOCKED [B, R, H, dh, Tb] (ring slabs; M = R*Tb)
     m_cap = _mem_cap(k_mem)
     if hp is None:
@@ -670,7 +701,8 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
     e_blk = pl.BlockSpec((1, hp, t, m_cap + t), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
     extra_spec = {"t": bh_t, "e": e_blk}
-    in_specs = [bh_t, bh_t] + kv_specs + \
+    in_specs = [bh_t, resident(rwbs.shape), resident(rrbs.shape)] + \
+        kv_specs + \
         [resident(w_r.shape), resident(trig_a.shape), resident(psi.shape),
          resident(mask.shape)] + \
         [extra_spec[kind] for kind, _ in extra]
@@ -691,7 +723,7 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
         in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
     )
-    operands = [qw, qr] + \
+    operands = [q, rwbs, rrbs] + \
         ([k_mem, k_win, v_mem, v_win] if has_mem else [k_win, v_win]) + \
         [w_r, trig_a, psi, mask]
     return pl.pallas_call(
@@ -702,28 +734,29 @@ def _fused_call(kernel_fn, outs, qw, qr, k_mem, k_win, v_mem, v_win, w_r,
     )(scalars, *operands, *[arr for _, arr in extra])
 
 
-def _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
-               scalars, dropout_p, train, save_e=False):
-    t = qw.shape[3]
+def _fused_fwd(q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
+               mask, scalars, dropout_p, train, scale, save_e=False):
+    t = q.shape[3]
     m_cap = _mem_cap(k_mem)
     kernel = _mem_kernel(functools.partial(
         _fwd_kernel, t=t, k_len=m_cap + t, dropout_p=dropout_p, train=train,
-        hp=heads_per_program(qw.shape[1])), k_mem is not None)
-    outs = [("t", qw.dtype)] + ([("e", qw.dtype)] if save_e else [])
-    out = _fused_call(kernel, outs, qw, qr, k_mem, k_win,
+        hp=heads_per_program(q.shape[1]), scale=scale), k_mem is not None)
+    outs = [("t", q.dtype)] + ([("e", q.dtype)] if save_e else [])
+    out = _fused_call(kernel, outs, q, rwbs, rrbs, k_mem, k_win,
                       v_mem, v_win, w_r, trig_a, psi, mask, scalars)
     if not save_e:
         return out, None
     out, e = out
-    return out, (qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
-                 scalars, e)
+    return out, (q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r, trig_a,
+                 psi, mask, scalars, e)
 
 
 def _fused_core_fwd(q, r_w_bias, r_r_bias, k_win, v_win, w_r, trig_a, psi,
                     mask, scalars, dropout_p, train, scale):
-    qw, qr = _fold_bias(q, r_w_bias, r_r_bias, scale)
-    out, res = _fused_fwd(qw, qr, None, k_win, None, v_win, w_r, trig_a, psi,
-                          mask, scalars, dropout_p, train, save_e=True)
+    rwbs, rrbs = _scaled_biases(r_w_bias, r_r_bias, scale, q.dtype)
+    out, res = _fused_fwd(q, rwbs, rrbs, None, k_win, None, v_win, w_r,
+                          trig_a, psi, mask, scalars, dropout_p, train,
+                          scale, save_e=True)
     return out, (res, r_w_bias, r_r_bias)
 
 
@@ -737,21 +770,21 @@ def _split_dwr(dwr_wide, fdim, rwb, rrb):
 
 
 def _fused_bwd(dropout_p, train, scale, residuals, g):
-    (qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
+    (q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi, mask,
      scalars, e), rwb, rrb = residuals
     assert k_mem is None, "memory attention differentiates via fused_core_mem"
-    t = qw.shape[3]
-    dtype = qw.dtype
+    t = q.shape[3]
+    dtype = q.dtype
     fdim = w_r.shape[2]
-    bwd_hp = heads_per_program(qw.shape[1], "bwd")
+    bwd_hp = heads_per_program(q.shape[1], "bwd")
     kernel = _bwd_mem_kernel(functools.partial(
         _bwd_kernel, t=t, k_len=t, dropout_p=dropout_p, train=train,
         hp=bwd_hp, scale=scale), False)
     dq, dkw, dvw, dwr_bh = _fused_call(
         kernel,
         [("t", dtype), ("t", dtype), ("t", dtype), ("fw", jnp.float32)],
-        qw, qr, None, k_win, None, v_win, w_r, trig_a, psi, mask, scalars,
-        extra=(("t", g.astype(dtype)), ("e", e)), hp=bwd_hp)
+        q, rwbs, rrbs, None, k_win, None, v_win, w_r, trig_a, psi, mask,
+        scalars, extra=(("t", g.astype(dtype)), ("e", e)), hp=bwd_hp)
     dwr_wide = dwr_bh.sum(axis=0, dtype=jnp.float32)
     dwr, drwb, drrb = _split_dwr(dwr_wide, fdim, rwb, rrb)
     # trig_a/psi/mask are pure functions of step counters (no parameters
@@ -768,9 +801,9 @@ fused_core.defvjp(_fused_core_fwd, _fused_bwd)
 # Memory-projection-fused variant: dW IN-KERNEL, no memory-half cotangents
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
-                    vw_ref, mem_ref, wr_ref, trig_ref, psi_ref, mask_ref,
-                    do_ref, e_ref,
+def _bwd_kernel_mem(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
+                    vm_ref, vw_ref, mem_ref, wr_ref, trig_ref, psi_ref,
+                    mask_ref, do_ref, e_ref,
                     dq_ref, dkw_ref, dvw_ref, dwk_ref, dwv_ref,
                     dwr_ref, *, t, k_len, dropout_p, train, hp, scale):
     """Backward with the memory-half weight gradients accumulated IN-KERNEL.
@@ -791,10 +824,10 @@ def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
     dk_ms, dv_ms, dwrs = [], [], []
 
     def stage_a(h, hh):
-        return _bwd_stage_a(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref,
-                            vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
+        return _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref,
+                            kw_ref, vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
                             t=t, k_len=k_len, dropout_p=dropout_p,
-                            train=train)
+                            train=train, scale=scale)
 
     def finish(hh, h, a):
         dq, dk, dv, dwr_wide = _bwd_stage_b(
@@ -844,21 +877,21 @@ def _bwd_kernel_mem(scalar_ref, qw_ref, qr_ref, km_ref, kw_ref, vm_ref,
         dwr_ref[...] += dwr_g
 
 
-def _bwd_call_mem(kernel_fn, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r,
-                  trig_a, psi, mask, scalars, do, e, layer_idx):
+def _bwd_call_mem(kernel_fn, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem,
+                  w_r, trig_a, psi, mask, scalars, do, e, layer_idx):
     """pallas_call for the memory-fused backward: grid (H/hp, B).
 
     ``mem`` is the FULL blocked ring buffer [L+1, R, B, D, Tb]; the
     BlockSpec indexes layer ``layer_idx`` directly so no per-layer slice is
     ever materialized in HBM (a pallas operand cannot fuse a slice; the
     block DMA can)."""
-    batch, heads, dh, t = qw.shape
+    batch, heads, dh, t = q.shape
     r_blocks, t_blk = k_mem.shape[1], k_mem.shape[4]
     m_cap = r_blocks * t_blk
     d_model = mem.shape[3]
     hp = heads_per_program(heads, "bwd")
     fdim = w_r.shape[2]
-    dtype = qw.dtype
+    dtype = q.dtype
 
     bh_t = pl.BlockSpec((1, hp, dh, t), lambda h, b, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -880,7 +913,8 @@ def _bwd_call_mem(kernel_fn, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r,
         return pl.BlockSpec((hp, dh, n), lambda h, b, s: (h, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [bh_t, bh_t, bh_m, bh_t, bh_m, bh_t, mem_spec,
+    in_specs = [bh_t, resident(rwbs.shape), resident(rrbs.shape),
+                bh_m, bh_t, bh_m, bh_t, mem_spec,
                 resident(w_r.shape), resident(trig_a.shape),
                 resident(psi.shape), resident(mask.shape), bh_t, e_blk]
     out_specs = [bh_t, bh_t, bh_t, acc(d_model), acc(d_model),
@@ -901,8 +935,8 @@ def _bwd_call_mem(kernel_fn, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r,
         kernel_fn, grid_spec=grid_spec, out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(scalars, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a, psi,
-      mask, do, e)
+    )(scalars, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a,
+      psi, mask, do, e)
 
 
 def _proj_mem_kernel(mem_ref, wk_ref, wv_ref, k_ref, v_ref, *, heads, rp):
@@ -949,6 +983,10 @@ def project_mem_kv(mem, layer_idx, wk3, wv3):
     wk = wk3.reshape(d_model, heads * dh).astype(mem.dtype)
     wv = wv3.reshape(d_model, heads * dh).astype(mem.dtype)
     rp = _proj_rp(batch)
+    # per-program working set scales with rp (block + double-buffered k/v
+    # outputs); give the projection kernel headroom beyond the shared cap so
+    # COMMU_PROJ_RP=4/8 are probe-able (v5e has 128 MB of physical VMEM)
+    vmem_limit = max(_VMEM_LIMIT, (rp * 13 + 14) * 1024 * 1024)
 
     mem_spec = pl.BlockSpec((1, r_blocks, rp, d_model, t_blk),
                             lambda b: (layer_idx, 0, b, 0, 0),
@@ -966,7 +1004,7 @@ def project_mem_kv(mem, layer_idx, wk3, wv3):
         in_specs=[mem_spec, w_spec, w_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[out_shape, out_shape],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=_interpret(),
     )(mem, wk, wv)
 
@@ -989,38 +1027,40 @@ def fused_core_mem(q, r_w_bias, r_r_bias, mem, wk3, wv3, k_win, v_win, w_r,
     kernel accumulates in-kernel (``_bwd_kernel_mem``).  The returned mem
     cotangent is symbolic-zero (DCE'd: nothing differentiates w.r.t. the
     carried memory buffer)."""
-    qw, qr = _fold_bias(q, r_w_bias, r_r_bias, scale)
+    rwbs, rrbs = _scaled_biases(r_w_bias, r_r_bias, scale, q.dtype)
     k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
-    out, _ = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
-                        mask, scalars, dropout_p, train, save_e=False)
+    out, _ = _fused_fwd(q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r,
+                        trig_a, psi, mask, scalars, dropout_p, train, scale,
+                        save_e=False)
     return out
 
 
 def _fused_fwd_mem(q, r_w_bias, r_r_bias, mem, wk3, wv3, k_win, v_win, w_r,
                    trig_a, psi, mask, scalars,
                    dropout_p, train, layer_idx, scale):
-    qw, qr = _fold_bias(q, r_w_bias, r_r_bias, scale)
+    rwbs, rrbs = _scaled_biases(r_w_bias, r_r_bias, scale, q.dtype)
     k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
-    out, res = _fused_fwd(qw, qr, k_mem, k_win, v_mem, v_win, w_r, trig_a,
-                          psi, mask, scalars, dropout_p, train, save_e=True)
+    out, res = _fused_fwd(q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r,
+                          trig_a, psi, mask, scalars, dropout_p, train,
+                          scale, save_e=True)
     e = res[-1]
-    return out, (qw, qr, r_w_bias, r_r_bias, mem, wk3, wv3, k_mem, k_win,
-                 v_mem, v_win, w_r, trig_a, psi, mask, scalars, e)
+    return out, (q, rwbs, rrbs, r_w_bias, r_r_bias, mem, wk3, wv3, k_mem,
+                 k_win, v_mem, v_win, w_r, trig_a, psi, mask, scalars, e)
 
 
 def _fused_bwd_mem(dropout_p, train, layer_idx, scale, residuals, g):
-    (qw, qr, rwb, rrb, mem, wk3, wv3, k_mem, k_win, v_mem, v_win, w_r,
-     trig_a, psi, mask, scalars, e) = residuals
-    t = qw.shape[3]
+    (q, rwbs, rrbs, rwb, rrb, mem, wk3, wv3, k_mem, k_win, v_mem, v_win,
+     w_r, trig_a, psi, mask, scalars, e) = residuals
+    t = q.shape[3]
     m_cap = _mem_cap(k_mem)
-    dtype = qw.dtype
+    dtype = q.dtype
     fdim = w_r.shape[2]
     kernel = functools.partial(
         _bwd_kernel_mem, t=t, k_len=m_cap + t, dropout_p=dropout_p,
-        train=train, hp=heads_per_program(qw.shape[1], "bwd"), scale=scale)
+        train=train, hp=heads_per_program(q.shape[1], "bwd"), scale=scale)
     dq, dkw, dvw, dwk, dwv, dwr_wide = _bwd_call_mem(
-        kernel, qw, qr, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a, psi,
-        mask, scalars, g.astype(dtype), e, layer_idx)
+        kernel, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a,
+        psi, mask, scalars, g.astype(dtype), e, layer_idx)
     # kernel emits [H, dh, D] f32; the projection slice wants [D, H, dh]
     dwk3 = jnp.transpose(dwk, (2, 0, 1)).astype(wk3.dtype)
     dwv3 = jnp.transpose(dwv, (2, 0, 1)).astype(wv3.dtype)

@@ -26,6 +26,57 @@ def _ring_write_kernel(s_ref, buf_ref, rows_ref, out_ref):
     out_ref[(0,) * (out_ref.ndim - 2)] = rows_ref[(0,) * (rows_ref.ndim - 2)]
 
 
+def ring_write_layer(buf: jnp.ndarray, rows: jnp.ndarray, layer_index: int,
+                     block_index, layer_axis: int,
+                     ring_axis: int) -> jnp.ndarray:
+    """``ring_write`` for ONE layer of a multi-layer ring buffer.
+
+    ``buf`` carries a layer dim at ``layer_axis`` and the ring dim at
+    ``ring_axis`` (layer before ring, e.g. [C, L+1, R, B, D, T] with
+    layer_axis=1, ring_axis=2); ``rows`` = ``buf`` with BOTH removed
+    (e.g. [C, B, D, T]); ``layer_index`` is static.  Writing each layer's
+    slab straight from that layer's activation buffer (instead of stacking
+    all layers into one [L+1, ...] intermediate and calling ``ring_write``)
+    skips a full materialize+read of the stacked slab (~0.4 ms/step at the
+    training shape)."""
+    assert 0 <= layer_axis < ring_axis
+    *lead, d, t = rows.shape
+    n = len(lead)
+    expect = list(lead)
+    expect.insert(layer_axis, buf.shape[layer_axis])
+    expect.insert(ring_axis, buf.shape[ring_axis])
+    assert tuple(buf.shape) == tuple(expect) + (d, t), (buf.shape, rows.shape)
+    if _interpret():
+        new = jnp.expand_dims(jnp.expand_dims(rows, layer_axis), ring_axis)
+        zero = jnp.zeros((), jnp.int32)
+        idx = [zero] * (n + 4)
+        idx[layer_axis] = jnp.asarray(layer_index, jnp.int32)
+        idx[ring_axis] = jnp.asarray(block_index, jnp.int32)
+        return jax.lax.dynamic_update_slice(buf, new, tuple(idx))
+
+    def buf_idx(*a):
+        g, s = a[:-1], a[-1]
+        idx = list(g)
+        idx.insert(layer_axis, layer_index)
+        idx.insert(ring_axis, s[0])
+        return tuple(idx) + (0, 0)
+
+    buf_spec = pl.BlockSpec((1,) * (n + 2) + (d, t), buf_idx,
+                            memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec(
+        (1,) * n + (d, t), lambda *a: a[:-1] + (0, 0),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=tuple(lead),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), rows_spec],
+        out_specs=buf_spec)
+    return pl.pallas_call(
+        _ring_write_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+        input_output_aliases={1: 0},
+    )(jnp.asarray(block_index, jnp.int32).reshape(1), buf, rows)
+
+
 def ring_write(buf: jnp.ndarray, rows: jnp.ndarray, block_index,
                axis: int) -> jnp.ndarray:
     """In-place blocked ring slab write.

@@ -244,10 +244,14 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
                                                        sem_per_physical)
         # only the NEW T rows leave the chunk — the memory write happens once,
         # in place, outside the scan (writing full ring buffers as scan ys
-        # costs a ~2 GB rewrite per step).  On the pallas path the hids are
-        # already slab-oriented [B, D, T], so the stack IS the ring slab.
-        new_rows = jax.lax.stop_gradient(
-            jnp.stack(hids, axis=0).astype(memory.hidden.dtype))
+        # costs a ~2 GB rewrite per step).  The per-layer hids are returned
+        # UNSTACKED: on the pallas path each is already slab-oriented
+        # [B, D, T] and is written straight into its layer's ring slab
+        # (ring_write_layer) — stacking them into one [L+1, ...] array first
+        # costs a full extra materialize+read of the slab.
+        new_rows = tuple(
+            jax.lax.stop_gradient(h.astype(memory.hidden.dtype))
+            for h in hids)
         return loss / n_chunks, (new_rows, nll_sum, token_count)
 
     if remat:
@@ -308,46 +312,49 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
                                              rsts[ci]))
                 rs.append(r)
             (grads, nll_sum, token_count) = carry
-            new_rows = jnp.stack(rs, axis=0)
+            # rs: per-chunk tuples of per-layer rows -> per-layer [C, ...]
+            new_rows = tuple(
+                jnp.stack([r[i] for r in rs], axis=0)
+                for i in range(len(rs[0])))
         else:
             (grads, nll_sum, token_count), new_rows = jax.lax.scan(
                 scan_body, (grad_zero, 0.0, 0.0),
                 (jnp.arange(n_chunks), to_chunks(inputs), to_chunks(targets),
                  to_chunks(reset)))
-        # new_rows: [C, L+1, B/C, D, T] (pallas; slab-oriented from the layer
-        # stack) or [C, L+1, B/C, T, D] (xla)
-        if ring:
-            if memory.transposed:
-                # ONE contiguous slab write into the aliased blocked ring
-                # buffer — no transpose (commu_tpu.ops.layout.ring_write)
-                from ..ops.layout import ring_write
-                assert memory.hidden.shape[5] == t_len, \
-                    (memory.hidden.shape, t_len)
+        # new_rows: tuple of L+1 per-layer [C, B/C, D, T] arrays (pallas;
+        # slab-oriented from the layer stack) or [C, B/C, T, D] (xla)
+        if ring and memory.transposed:
+            # per-layer contiguous slab writes into the aliased blocked ring
+            # buffer — no stack, no transpose (ops.layout.ring_write_layer)
+            from ..ops.layout import ring_write_layer
+            assert memory.hidden.shape[5] == t_len, \
+                (memory.hidden.shape, t_len)
+            new_hidden = memory.hidden
+            block = memory.head // t_len
+            for i, rows in enumerate(new_rows):
                 if not fused_nll:
-                    new_rows = jnp.swapaxes(new_rows, 3, 4)
-                new_hidden = ring_write(memory.hidden, new_rows,
-                                        memory.head // t_len, axis=2)
-            else:
-                if fused_nll:
-                    new_rows = jnp.swapaxes(new_rows, 3, 4)
-                new_hidden = jax.lax.dynamic_update_slice(
-                    memory.hidden, new_rows, (0, 0, 0, memory.head, 0))
+                    rows = jnp.swapaxes(rows, 2, 3)
+                new_hidden = ring_write_layer(new_hidden, rows, i, block,
+                                              layer_axis=1, ring_axis=2)
             new_head = jnp.mod(memory.head + t_len, m_cap)
-        elif t_len < m_cap:
-            assert not memory.transposed, \
-                "transposed memory requires the ring layout (pallas path)"
-            if fused_nll:
-                new_rows = jnp.swapaxes(new_rows, 3, 4)
-            new_hidden = jnp.concatenate(
-                [memory.hidden[..., t_len:, :], new_rows], axis=3)
-            new_head = jnp.zeros((), jnp.int32)
         else:
+            # stacked [C, L+1, B/C, T, D] form for the dense layouts
+            stacked = jnp.stack(new_rows, axis=1)
+            if fused_nll:
+                stacked = jnp.swapaxes(stacked, 3, 4)
             assert not memory.transposed, \
                 "transposed memory requires the ring layout (pallas path)"
-            if fused_nll:
-                new_rows = jnp.swapaxes(new_rows, 3, 4)
-            new_hidden = new_rows[..., -m_cap:, :]
-            new_head = jnp.zeros((), jnp.int32)
+            if ring:
+                new_hidden = jax.lax.dynamic_update_slice(
+                    memory.hidden, stacked, (0, 0, 0, memory.head, 0))
+                new_head = jnp.mod(memory.head + t_len, m_cap)
+            elif t_len < m_cap:
+                new_hidden = jnp.concatenate(
+                    [memory.hidden[..., t_len:, :], stacked], axis=3)
+                new_head = jnp.zeros((), jnp.int32)
+            else:
+                new_hidden = stacked[..., -m_cap:, :]
+                new_head = jnp.zeros((), jnp.int32)
 
         new_memory = TrainMemory(
             hidden=new_hidden,

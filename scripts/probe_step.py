@@ -1,0 +1,127 @@
+"""Interleaved A/B probe harness for train-step variants.
+
+Builds the full-size production train step once per named env-variant (the
+kernel knobs are read at trace time, so setting os.environ between builds
+gives each jit its own kernel configuration), then times the variants in
+interleaved rounds to cancel chip run-to-run drift.
+
+Usage:
+    python scripts/probe_step.py A= B=COMMU_PROJ_RP:4 C=COMMU_PIPE_DEPTH:4
+        [--steps 10] [--rounds 3]
+
+Each variant is NAME=K:V,K:V,... (empty spec = current defaults).
+Prints ms/step per variant per round plus the median.
+"""
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from commu_tpu.config import get_default_cfg_training
+    from commu_tpu.models.transformer_xl import (TransformerXL,
+                                                 resolve_attn_impl)
+    from commu_tpu.parallel import make_mesh, shard_train_step
+    from commu_tpu.training.step import (create_train_state, init_train_memory,
+                                         make_train_step,
+                                         resolve_physical_chunks)
+    from commu_tpu.vocab.event_tokens import VOCAB_SIZE
+
+    cfg = get_default_cfg_training()
+    tcfg = cfg.train
+    batch, tgt = tcfg.batch_size, tcfg.tgt_length
+    physical = resolve_physical_chunks(cfg)
+    model = TransformerXL(VOCAB_SIZE, cfg.model, dtype=jnp.bfloat16)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg)
+    transposed = resolve_attn_impl(cfg.model) == "pallas"
+    step = shard_train_step(
+        make_train_step(model, cfg, physical_chunks=physical), make_mesh(1),
+        transposed=transposed)
+    memory = init_train_memory(
+        cfg.model.num_layers, batch, tcfg.mem_length, cfg.model.units,
+        physical, dtype=jnp.bfloat16, transposed=transposed, block_len=tgt)
+    rng = np.random.RandomState(0)
+    data = rng.randint(1, VOCAB_SIZE, size=(batch, tgt), dtype=np.int32)
+    target = rng.randint(1, VOCAB_SIZE, size=(batch, tgt), dtype=np.int32)
+    reset = np.zeros(batch, dtype=bool)
+    key = jax.random.PRNGKey(1)
+    return step, state, memory, (data, target, reset), key
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="+", metavar="NAME=K:V,K:V")
+    ap.add_argument("--steps", type=int, default=15)
+    ap.add_argument("--rounds", type=int, default=3)
+    args = ap.parse_args()
+
+    specs = []
+    for v in args.variants:
+        name, _, kvs = v.partition("=")
+        env = {}
+        if kvs:
+            for kv in kvs.split(","):
+                k, _, val = kv.partition(":")
+                env[k] = val
+        specs.append((name, env))
+
+    # knobs any variant touches; reset to ambient defaults between builds
+    all_keys = sorted({k for _, env in specs for k in env})
+    ambient = {k: os.environ.get(k) for k in all_keys}
+
+    built = []
+    for name, env in specs:
+        for k in all_keys:
+            if ambient[k] is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = ambient[k]
+        os.environ.update(env)
+        t0 = time.perf_counter()
+        try:
+            step, state, memory, batch, key = build_step()
+            # warmup/compile
+            s, m = state, memory
+            for _ in range(3):
+                s, m, metrics = step(s, m, *batch, key)
+            float(metrics["nll_sum"])
+        except Exception as exc:  # noqa: BLE001 - probe harness, keep going
+            print(f"[{name}] FAILED to build/compile: "
+                  f"{type(exc).__name__}: {str(exc)[:300]}", flush=True)
+            continue
+        print(f"[{name}] built+compiled in {time.perf_counter()-t0:.0f}s "
+              f"env={env}", flush=True)
+        built.append((name, step, s, m, batch, key))
+
+    results = {name: [] for name, *_ in built}
+    for r in range(args.rounds):
+        for name, step, s, m, batch, key in built:
+            for _ in range(2):  # re-warm
+                s, m, metrics = step(s, m, *batch, key)
+            float(metrics["nll_sum"])
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                s, m, metrics = step(s, m, *batch, key)
+            float(metrics["nll_sum"])
+            dt = (time.perf_counter() - t0) / args.steps * 1e3
+            results[name].append(dt)
+            print(f"round {r} [{name}] {dt:.2f} ms/step", flush=True)
+
+    print("\n== medians ==")
+    b, t = batch[0].shape
+    for name, times in results.items():
+        med = statistics.median(times)
+        print(f"[{name}] {med:.2f} ms/step  "
+              f"({b * t / med * 1e3 / 1e3:.1f}k tokens/s)")
+
+
+if __name__ == "__main__":
+    main()

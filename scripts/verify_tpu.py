@@ -29,10 +29,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The parity checks run the kernels in f32 (tight tolerances), which doubles
-# the per-program VMEM working set the head-group autotune assumes for bf16;
-# halve the head group so the full-size backward fits the 40 MB scoped limit.
+# the per-program VMEM working set the head-group / rows-per-program
+# autotunes assume for bf16; halve the attention head group and the FFN row
+# group so the full-size backwards fit the scoped vmem limit.
 os.environ.setdefault("COMMU_FWD_HP", "5")
 os.environ.setdefault("COMMU_BWD_HP", "5")
+os.environ.setdefault("COMMU_FFN_RP", "2")
 
 RESULTS = []
 
