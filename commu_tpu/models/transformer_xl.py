@@ -303,6 +303,14 @@ class RelMultiHeadAttention(nn.Module):
                     same_length=same_length, dropout_p=cfg.attention_dropout,
                     dropout_seed=seed, train=not deterministic)
             if return_pre_norm:
+                from ..ops.fused_ffn import o_in_ffn
+                if o_in_ffn():
+                    # o projection fused into the FFN kernel: hand the raw
+                    # attention vector + the o_net kernel to DecoderLayer
+                    ln = LayerNormP(d_model, name="layer_norm")
+                    return (vec.astype(x.dtype),
+                            o_net(None, return_kernel=True),
+                            ln(return_params=True))
                 # fused-FFN path: emit the projection straight into the
                 # kernel's [B, D, T] orientation, pre-dropout/pre-LN
                 out = o_net(vec.astype(x.dtype), "bhct,hcd->bdt",
@@ -392,10 +400,16 @@ class DecoderLayer(nn.Module):
         # fused kernel over [B, D, T] tiles (commu_tpu.ops.fused_ffn).  The
         # layer stack carries x as [B, D, T] end to end, so there is no
         # orientation flip anywhere between kernels.
-        from ..ops.fused_ffn import ffn_block
-        o, (g1, be1) = attn(x, mem, pos_emb, r_w_bias, r_r_bias, mask,
-                            deterministic, pallas_ctx, layer_idx,
-                            return_pre_norm=True)
+        from ..ops.fused_ffn import ffn_block, ffn_block_fused_o
+        res = attn(x, mem, pos_emb, r_w_bias, r_r_bias, mask,
+                   deterministic, pallas_ctx, layer_idx,
+                   return_pre_norm=True)
+        if len(res) == 3:
+            # COMMU_O_IN_FFN: raw attention vector + o_net kernel; the o
+            # projection runs inside the FFN kernel
+            vec, wo, (g1, be1) = res
+        else:
+            (o, (g1, be1)), wo = res, None
         (w1, b1), (w2, b2), (g2, be2) = ff(None, deterministic,
                                            return_params=True)
         train_drop = (not deterministic) and self.cfg.dropout > 0.0
@@ -405,6 +419,12 @@ class DecoderLayer(nn.Module):
                 dtype=jnp.int32)
         else:
             seed = jnp.zeros((), dtype=jnp.int32)
+        if wo is not None:
+            b_, h_, dh_, t_ = vec.shape
+            return ffn_block_fused_o(
+                x, vec.reshape(b_, h_ * dh_, t_), wo,
+                w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                g1, be1, g2, be2, seed, self.cfg.dropout, not deterministic)
         return ffn_block(x, o,
                          w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
                          g1, be1, g2, be2, seed, self.cfg.dropout,

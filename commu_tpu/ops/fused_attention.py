@@ -322,11 +322,19 @@ def _softmax_clamp() -> bool:
     """COMMU_SOFTMAX=clamp replaces the row-max subtraction with a fixed
     clamp at +60 (exp(60) ~ 1e26; a 1152-key row sum stays < 1e30, far from
     f32 overflow): softmax is shift-invariant, so for rows whose scores stay
-    below the clamp — all of them, in practice; trained XL scores sit well
-    under +-30 — the result is bit-comparable, and a pathological row
-    degrades smoothly toward uniform-over-top instead of overflowing.  Saves
-    a cross-lane max reduction plus a full [T, K] f32 subtract per head in
-    the forward's VPU-bound phase."""
+    in (-87, 60) the result is bit-comparable, and it saves a cross-lane max
+    reduction plus a full [T, K] f32 subtract per head in the forward's
+    VPU-bound phase (~1 ms/step measured).
+
+    Default is ``max``: a 150-step real-data bisect on the v5e chip showed
+    clamp going NaN at step 95 while max stayed finite — early-training
+    score drift pushes entire rows below exp's f32 underflow (~-87), the
+    unsubtracted denominator hits exactly 0, and 1/0 propagates.  The
+    subtracting form's denominator is always >= exp(0) = 1.  Clamp mode now
+    carries a denominator guard (a pathological row degrades to zero
+    attention output instead of NaN), but the saturated rows still lose
+    their gradient, so it stays opt-in for inference-like or
+    well-conditioned workloads."""
     import os
     return os.environ.get("COMMU_SOFTMAX", "max") == "clamp"
 
@@ -342,10 +350,15 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
     """
     if _softmax_clamp():
         e = jnp.exp(jnp.minimum(s, 60.0))
+        # guard: if every score in a row underflows exp (s < ~-87 across
+        # the row), the unsubtracted denominator is exactly 0 — emit zero
+        # probabilities for that row instead of 1/0 = inf -> NaN
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
     else:
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
-    inv_denom = 1.0 / jnp.sum(e, axis=1, keepdims=True)              # [T,1]
+        denom = jnp.sum(e, axis=1, keepdims=True)
+    inv_denom = 1.0 / denom                                          # [T,1]
     p_clean = e * inv_denom
     if train and dropout_p > 0.0:
         pltpu.prng_seed(scalar_ref[0] + b * 4096 + h)
@@ -406,6 +419,137 @@ def _fwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
               lambda hh: _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh),
               b, hg, t=t, k_len=k_len, dropout_p=dropout_p, train=train,
               hp=hp, scale=scale)
+
+
+def proj_in_fwd() -> bool:
+    """COMMU_PROJ_IN_FWD=1: project the XL memory's k/v INSIDE the forward
+    attention kernel (reading the raw ring buffer once per batch row and
+    scoring against the projected slabs while they are still in VMEM),
+    writing the projected halves out for the backward kernel to reuse.
+    Removes the standalone projection kernel's k/v HBM round trip into the
+    forward (~260 MB/layer/step of reads) without duplicating projection
+    FLOPs in the backward — the earlier project-inside-fwd-AND-bwd
+    experiment regressed for exactly that duplication."""
+    import os
+    return os.environ.get("COMMU_PROJ_IN_FWD", "0") == "1"
+
+
+def _fwd_kernel_proj(scalar_ref, q_ref, rwbs_ref, rrbs_ref, mem_ref, wk_ref,
+                     wv_ref, kw_ref, vw_ref, wr_ref, trig_ref, psi_ref,
+                     mask_ref, o_ref, km_out_ref, vm_out_ref, e_ref=None,
+                     *, t, k_len, dropout_p, train, hp, heads, scale):
+    """Forward with the memory k/v projection fused in.  mem_ref is this
+    layer's raw ring block [1, R, 1, D, Tb]; wk/wv are the [D, H*dh]
+    projection weights (VMEM-resident).  The projected slabs are scored
+    directly from VMEM and also written to km/vm outputs (full-head blocks,
+    indexed by the batch row only) so the backward reuses them without
+    re-projecting.  With hp < heads the projection recomputes per head
+    group (the duplicate writes hit the same resident block — harmless; the
+    production path runs all heads in one group)."""
+    b, hg = pl.program_id(0), pl.program_id(1)
+    r_blocks = mem_ref.shape[1]
+    t_blk = mem_ref.shape[4]
+    dh = q_ref.shape[2]
+    k_slabs, v_slabs = [], []
+    for r in range(r_blocks):
+        m = mem_ref[0, r, 0]                                     # [D, Tb]
+        k = jax.lax.dot_general(wk_ref[...], m, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        v = jax.lax.dot_general(wv_ref[...], m, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        k3 = k.reshape(heads, dh, t_blk).astype(km_out_ref.dtype)
+        v3 = v.reshape(heads, dh, t_blk).astype(vm_out_ref.dtype)
+        km_out_ref[0, r] = k3
+        vm_out_ref[0, r] = v3
+        k_slabs.append(k3)
+        v_slabs.append(v3)
+
+    def head_kv(hh):
+        if heads // hp == 1:
+            # one head group (the production path): hh IS the global head,
+            # a static index into the still-live projected slab values
+            k = jnp.concatenate([k_slabs[r][hh] for r in range(r_blocks)]
+                                + [kw_ref[0, hh]], axis=1)       # [dh, K]
+            v = jnp.concatenate([v_slabs[r][hh] for r in range(r_blocks)]
+                                + [vw_ref[0, hh]], axis=1)
+        else:
+            # multiple head groups: the global head index is traced
+            # (program_id); values cannot be dynamically indexed, but the
+            # freshly-written resident output block can
+            h = hg * hp + hh
+            k = jnp.concatenate([km_out_ref[0, r, h] for r in range(r_blocks)]
+                                + [kw_ref[0, hh]], axis=1)
+            v = jnp.concatenate([vm_out_ref[0, r, h] for r in range(r_blocks)]
+                                + [vw_ref[0, hh]], axis=1)
+        return k, v
+
+    _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
+              psi_ref, mask_ref, o_ref, e_ref, head_kv,
+              b, hg, t=t, k_len=k_len, dropout_p=dropout_p, train=train,
+              hp=hp, scale=scale)
+
+
+def _fused_fwd_proj(q, rwbs, rrbs, mem, layer_idx, wk3, wv3, k_win, v_win,
+                    w_r, trig_a, psi, mask, scalars, dropout_p, train, scale,
+                    save_e):
+    """pallas_call assembly for the projection-fused forward.  Returns
+    (out, k_mem, v_mem[, e]) with k_mem/v_mem in the same blocked
+    [B, R, H, dh, Tb] layout ``project_mem_kv`` produces."""
+    batch, heads, dh, t = q.shape
+    l1, r_blocks, _, d_model, t_blk = mem.shape
+    m_cap = r_blocks * t_blk
+    k_len = m_cap + t
+    hp = heads_per_program(heads)
+    fdim = w_r.shape[2]
+    dtype = q.dtype
+    wk = wk3.reshape(d_model, heads * dh).astype(mem.dtype)
+    wv = wv3.reshape(d_model, heads * dh).astype(mem.dtype)
+
+    bh_t = pl.BlockSpec((1, hp, dh, t), lambda b, h, s: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mem_spec = pl.BlockSpec((1, r_blocks, 1, d_model, t_blk),
+                            lambda b, h, s: (layer_idx, 0, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kv_out = pl.BlockSpec((1, r_blocks, heads, dh, t_blk),
+                          lambda b, h, s: (b, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    e_blk = pl.BlockSpec((1, hp, t, k_len), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def resident(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda b, h, s: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [bh_t, resident(rwbs.shape), resident(rrbs.shape), mem_spec,
+                resident(wk.shape), resident(wv.shape), bh_t, bh_t,
+                resident(w_r.shape), resident(trig_a.shape),
+                resident(psi.shape), resident(mask.shape)]
+    out_specs = [bh_t, kv_out, kv_out]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, heads, dh, t), dtype),           # o
+        jax.ShapeDtypeStruct((batch, r_blocks, heads, dh, t_blk),
+                             mem.dtype),                              # k_mem
+        jax.ShapeDtypeStruct((batch, r_blocks, heads, dh, t_blk),
+                             mem.dtype),                              # v_mem
+    ]
+    if save_e:
+        out_specs.append(e_blk)
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, heads, t, k_len), dtype))    # e
+    kernel = functools.partial(
+        _fwd_kernel_proj, t=t, k_len=k_len, dropout_p=dropout_p,
+        train=train, hp=hp, heads=heads, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(batch, heads // hp),
+        in_specs=in_specs, out_specs=out_specs)
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(scalars, q, rwbs, rrbs, mem, wk, wv, k_win, v_win, w_r, trig_a, psi,
+      mask)
+    return outs
 
 
 def _bwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
@@ -1028,6 +1172,12 @@ def fused_core_mem(q, r_w_bias, r_r_bias, mem, wk3, wv3, k_win, v_win, w_r,
     cotangent is symbolic-zero (DCE'd: nothing differentiates w.r.t. the
     carried memory buffer)."""
     rwbs, rrbs = _scaled_biases(r_w_bias, r_r_bias, scale, q.dtype)
+    if proj_in_fwd():
+        out, _, _ = _fused_fwd_proj(
+            q, rwbs, rrbs, mem, layer_idx, wk3, wv3, k_win, v_win, w_r,
+            trig_a, psi, mask, scalars, dropout_p, train, scale,
+            save_e=False)
+        return out
     k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
     out, _ = _fused_fwd(q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r,
                         trig_a, psi, mask, scalars, dropout_p, train, scale,
@@ -1039,11 +1189,16 @@ def _fused_fwd_mem(q, r_w_bias, r_r_bias, mem, wk3, wv3, k_win, v_win, w_r,
                    trig_a, psi, mask, scalars,
                    dropout_p, train, layer_idx, scale):
     rwbs, rrbs = _scaled_biases(r_w_bias, r_r_bias, scale, q.dtype)
-    k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
-    out, res = _fused_fwd(q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r,
-                          trig_a, psi, mask, scalars, dropout_p, train,
-                          scale, save_e=True)
-    e = res[-1]
+    if proj_in_fwd():
+        out, k_mem, v_mem, e = _fused_fwd_proj(
+            q, rwbs, rrbs, mem, layer_idx, wk3, wv3, k_win, v_win, w_r,
+            trig_a, psi, mask, scalars, dropout_p, train, scale, save_e=True)
+    else:
+        k_mem, v_mem = project_mem_kv(mem, layer_idx, wk3, wv3)
+        out, res = _fused_fwd(q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r,
+                              trig_a, psi, mask, scalars, dropout_p, train,
+                              scale, save_e=True)
+        e = res[-1]
     return out, (q, rwbs, rrbs, r_w_bias, r_r_bias, mem, wk3, wv3, k_mem,
                  k_win, v_mem, v_win, w_r, trig_a, psi, mask, scalars, e)
 

@@ -87,6 +87,13 @@ def _ln_bwd(dy, norm, rstd, g):
     return rstd * (dnorm - m1 - norm * m2)
 
 
+def o_in_ffn() -> bool:
+    """COMMU_O_IN_FFN=1: the decoder layer routes the attention output
+    through ``ffn_block_fused_o`` (o projection inside the FFN kernel)."""
+    import os
+    return os.environ.get("COMMU_O_IN_FFN", "0") == "1"
+
+
 def _ffn_depth() -> int:
     """Rows in flight ahead of the finish phase (COMMU_FFN_DEPTH; capped by
     rows-per-program - 1 in ``_pipeline``)."""
@@ -109,10 +116,17 @@ def _pipeline(rp, base, stage_a, finish):
         finish(*st)
 
 
-def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    g1_ref, be1_ref, g2_ref, be2_ref,
-                    y_ref, z1_ref=None, z2_ref=None, h1_ref=None,
-                    stats_ref=None, *, dropout_p, train, rp):
+def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, *rest,
+                    dropout_p, train, rp, fuse_o):
+    if fuse_o:
+        # o_ref holds the pre-projection attention vector [HD, T] per row;
+        # the o_net matmul runs in-kernel against the resident wo [HD, D]
+        wo_ref, rest = rest[0], rest[1:]
+    else:
+        wo_ref = None
+    (w1_ref, b1_ref, w2_ref, b2_ref, g1_ref, be1_ref, g2_ref, be2_ref,
+     y_ref, *save_refs) = rest
+    z1_ref, z2_ref, h1_ref, stats_ref = (save_refs + [None] * 4)[:4]
     bp = pl.program_id(0)
     cdt = x_ref.dtype
     drop = train and dropout_p > 0.0
@@ -127,7 +141,12 @@ def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     def stage_a(r, b):
         """attention residual + LN1 (VPU), then the W1 matmul (MXU)."""
         x = x_ref[r].astype(jnp.float32)                          # [D, T]
-        o = o_ref[r].astype(jnp.float32)
+        if fuse_o:
+            o = jax.lax.dot_general(
+                wo_ref[...], o_ref[r], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [D, T]
+        else:
+            o = o_ref[r].astype(jnp.float32)
         if drop:
             keep_o = _dropout_mask(seed, b, _SALT_O, o.shape, dropout_p)
             o = _apply_drop(o, keep_o, dropout_p)
@@ -175,12 +194,17 @@ def _ffn_fwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     _pipeline(rp, bp * rp, stage_a, finish)
 
 
-def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref,
-                    g1_ref, be1_ref, g2_ref, be2_ref,
-                    z1_ref, z2_ref, h1_ref, stats_ref, dy_ref,
-                    dx_ref, do_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                    dg1_ref, dbe1_ref, dg2_ref, dbe2_ref,
-                    *, dropout_p, train, rp):
+def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, *rest,
+                    dropout_p, train, rp, fuse_o):
+    if fuse_o:
+        wo_ref, rest = rest[0], rest[1:]
+    else:
+        wo_ref = None
+    (w1_ref, b1_ref, w2_ref, g1_ref, be1_ref, g2_ref, be2_ref,
+     z1_ref, z2_ref, h1_ref, stats_ref, dy_ref,
+     dx_ref, do_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+     dg1_ref, dbe1_ref, dg2_ref, dbe2_ref, *dwo_refs) = rest
+    dwo_ref = dwo_refs[0] if fuse_o else None
     bp = pl.program_id(0)
     first = bp == 0
     cdt = x_ref.dtype
@@ -257,10 +281,24 @@ def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref,
             keep_o = _dropout_mask(seed, b, _SALT_O, do.shape, dropout_p)
             do = _apply_drop(do, keep_o, dropout_p)
         dx_ref[r] = dz1.astype(dx_ref.dtype)
-        do_ref[r] = do.astype(do_ref.dtype)
-        for key, val in (("dw1", dw1), ("db1", db1), ("dw2", dw2),
-                         ("db2", db2), ("dg1", dg1), ("dbe1", dbe1),
-                         ("dg2", dg2), ("dbe2", dbe2)):
+        updates = [("dw1", dw1), ("db1", db1), ("dw2", dw2), ("db2", db2),
+                   ("dg1", dg1), ("dbe1", dbe1), ("dg2", dg2),
+                   ("dbe2", dbe2)]
+        if fuse_o:
+            # chain through the in-kernel o projection: the emitted row
+            # cotangent is d(vec) [HD, T], and dWo accumulates residently
+            do_c = do.astype(cdt)
+            dvec = jax.lax.dot_general(
+                wo_ref[...], do_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [HD, T]
+            dwo = jax.lax.dot_general(
+                o_ref[r], do_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [HD, D]
+            do_ref[r] = dvec.astype(do_ref.dtype)
+            updates.append(("dwo", dwo))
+        else:
+            do_ref[r] = do.astype(do_ref.dtype)
+        for key, val in updates:
             acc[key] = val if key not in acc else acc[key] + val
 
     _pipeline(rp, bp * rp, stage_a, finish)
@@ -268,6 +306,8 @@ def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, w1_ref, b1_ref, w2_ref,
     refs = {"dw1": dw1_ref, "db1": db1_ref, "dw2": dw2_ref, "db2": db2_ref,
             "dg1": dg1_ref, "dbe1": dbe1_ref, "dg2": dg2_ref,
             "dbe2": dbe2_ref}
+    if fuse_o:
+        refs["dwo"] = dwo_ref
 
     @pl.when(first)
     def _():
@@ -308,14 +348,19 @@ def _res(shape):  # grid-resident whole-array block
                         memory_space=pltpu.VMEM)
 
 
-def _ffn_fwd_call(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
+def _ffn_fwd_call(x, o, wo, w1, b1, w2, b2, g1, be1, g2, be2, seed,
                   dropout_p, train, save: bool):
+    """``wo`` None: ``o`` arrives projected [B, D, T].  ``wo`` [HD, D]: ``o``
+    is the pre-projection attention vector [B, HD, T] and the o_net matmul
+    runs in-kernel (fuse_o)."""
     batch, d, t = x.shape
     f = w1.shape[1]
     cdt = x.dtype
+    fuse_o = wo is not None
+    hd = o.shape[1]
     rp = _rows_per_program(batch)
     kernel = functools.partial(_ffn_fwd_kernel, dropout_p=dropout_p,
-                               train=train, rp=rp)
+                               train=train, rp=rp, fuse_o=fuse_o)
     out_specs = [_bt(rp, (d, t))]
     out_shape = [jax.ShapeDtypeStruct((batch, d, t), cdt)]       # y
     if save:  # checkpoints for the backward
@@ -327,44 +372,49 @@ def _ffn_fwd_call(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
             jax.ShapeDtypeStruct((batch, f, t), cdt),            # h1
             jax.ShapeDtypeStruct((batch, 2, t), jnp.float32),    # LN stats
         ]
+    in_specs = [_bt(rp, (d, t)), _bt(rp, (hd, t))] + \
+        ([_res(wo.shape)] if fuse_o else []) + \
+        [_res(w1.shape), _res((f, 1)), _res(w2.shape), _res((d, 1)),
+         _res((d, 1)), _res((d, 1)), _res((d, 1)), _res((d, 1))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(batch // rp,),
-        in_specs=[_bt(rp, (d, t)), _bt(rp, (d, t)), _res(w1.shape),
-                  _res((f, 1)), _res(w2.shape), _res((d, 1)), _res((d, 1)),
-                  _res((d, 1)), _res((d, 1)), _res((d, 1))],
+        in_specs=in_specs,
         out_specs=out_specs if save else out_specs[0])
     scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    operands = [x, o] + ([wo] if fuse_o else []) + \
+        [w1, _col(b1), w2, _col(b2), _col(g1), _col(be1), _col(g2),
+         _col(be2)]
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=out_shape if save else out_shape[0],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(scalars, x, o, w1, _col(b1), w2, _col(b2), _col(g1), _col(be1),
-      _col(g2), _col(be2))
+    )(scalars, *operands)
     return out if save else (out,)
 
 
-def _ffn_bwd_call(x, o, w1, b1, w2, g1, be1, g2, be2, seed,
+def _ffn_bwd_call(x, o, wo, w1, b1, w2, g1, be1, g2, be2, seed,
                   z1, z2, h1, stats, dy, dropout_p, train):
     batch, d, t = x.shape
     f = w1.shape[1]
     cdt = x.dtype
+    fuse_o = wo is not None
+    hd = o.shape[1]
     rp = _rows_per_program(batch)
     kernel = functools.partial(_ffn_bwd_kernel, dropout_p=dropout_p,
-                               train=train, rp=rp)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(batch // rp,),
-        in_specs=[_bt(rp, (d, t)), _bt(rp, (d, t)), _res(w1.shape),
-                  _res((f, 1)), _res(w2.shape), _res((d, 1)), _res((d, 1)),
-                  _res((d, 1)), _res((d, 1)),
-                  _bt(rp, (d, t)), _bt(rp, (d, t)), _bt(rp, (f, t)),
-                  _bt(rp, (2, t)), _bt(rp, (d, t))],
-        out_specs=[_bt(rp, (d, t)), _bt(rp, (d, t)),
-                   _res((d, f)), _res((f, 1)), _res((f, d)), _res((d, 1)),
-                   _res((d, 1)), _res((d, 1)), _res((d, 1)), _res((d, 1))])
+                               train=train, rp=rp, fuse_o=fuse_o)
+    in_specs = [_bt(rp, (d, t)), _bt(rp, (hd, t))] + \
+        ([_res(wo.shape)] if fuse_o else []) + \
+        [_res(w1.shape), _res((f, 1)), _res(w2.shape), _res((d, 1)),
+         _res((d, 1)), _res((d, 1)), _res((d, 1)),
+         _bt(rp, (d, t)), _bt(rp, (d, t)), _bt(rp, (f, t)),
+         _bt(rp, (2, t)), _bt(rp, (d, t))]
+    out_specs = [_bt(rp, (d, t)), _bt(rp, (hd, t)),
+                 _res((d, f)), _res((f, 1)), _res((f, d)), _res((d, 1)),
+                 _res((d, 1)), _res((d, 1)), _res((d, 1)), _res((d, 1))]
     out_shape = [
         jax.ShapeDtypeStruct((batch, d, t), cdt),          # dx
-        jax.ShapeDtypeStruct((batch, d, t), cdt),          # do
+        jax.ShapeDtypeStruct((batch, hd, t), cdt),         # do (dvec if fuse_o)
         jax.ShapeDtypeStruct((d, f), jnp.float32),         # dW1
         jax.ShapeDtypeStruct((f, 1), jnp.float32),         # db1
         jax.ShapeDtypeStruct((f, d), jnp.float32),         # dW2
@@ -374,13 +424,21 @@ def _ffn_bwd_call(x, o, w1, b1, w2, g1, be1, g2, be2, seed,
         jax.ShapeDtypeStruct((d, 1), jnp.float32),         # dg2
         jax.ShapeDtypeStruct((d, 1), jnp.float32),         # dbe2
     ]
+    if fuse_o:
+        out_specs.append(_res((hd, d)))
+        out_shape.append(jax.ShapeDtypeStruct((hd, d), jnp.float32))  # dWo
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(batch // rp,),
+        in_specs=in_specs, out_specs=out_specs)
     scalars = jnp.asarray(seed, jnp.int32).reshape(1)
+    operands = [x, o] + ([wo] if fuse_o else []) + \
+        [w1, _col(b1), w2, _col(g1), _col(be1), _col(g2), _col(be2),
+         z1, z2, h1, stats, dy]
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(scalars, x, o, w1, _col(b1), w2, _col(g1), _col(be1), _col(g2),
-      _col(be2), z1, z2, h1, stats, dy)
+    )(scalars, *operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
@@ -390,7 +448,7 @@ def ffn_block(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, dropout_p, train):
     LayerNorm scale/bias pairs (post-attention LN and post-FFN LN); seed:
     int32 dropout seed (ignored unless train and dropout_p > 0).
     Returns y [B, D, T]."""
-    (y,) = _ffn_fwd_call(x, o, w1, b1, w2, b2, g1, be1, g2, be2,
+    (y,) = _ffn_fwd_call(x, o, None, w1, b1, w2, b2, g1, be1, g2, be2,
                          seed, dropout_p, train, save=False)
     return y
 
@@ -398,7 +456,7 @@ def ffn_block(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, dropout_p, train):
 def _ffn_block_fwd(x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed,
                    dropout_p, train):
     y, z1, z2, h1, stats = _ffn_fwd_call(
-        x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, dropout_p, train,
+        x, o, None, w1, b1, w2, b2, g1, be1, g2, be2, seed, dropout_p, train,
         save=True)
     return y, (x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, z1, z2, h1,
                stats)
@@ -408,8 +466,8 @@ def _ffn_block_bwd(dropout_p, train, residuals, dy):
     (x, o, w1, b1, w2, b2, g1, be1, g2, be2, seed, z1, z2, h1,
      stats) = residuals
     (dx, do, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = _ffn_bwd_call(
-        x, o, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats, dy,
-        dropout_p, train)
+        x, o, None, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats,
+        dy, dropout_p, train)
     return (dx, do, dw1.astype(w1.dtype), db1[:, 0].astype(b1.dtype),
             dw2.astype(w2.dtype), db2[:, 0].astype(b2.dtype),
             dg1[:, 0].astype(g1.dtype), dbe1[:, 0].astype(be1.dtype),
@@ -417,3 +475,44 @@ def _ffn_block_bwd(dropout_p, train, residuals, dy):
 
 
 ffn_block.defvjp(_ffn_block_fwd, _ffn_block_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def ffn_block_fused_o(x, vec, wo, w1, b1, w2, b2, g1, be1, g2, be2, seed,
+                      dropout_p, train):
+    """``ffn_block`` with the attention o-projection fused in: ``vec``
+    [B, HD, T] is the pre-projection attention vector (heads flattened —
+    a free reshape of the kernels' [B, H, dh, T] output), ``wo`` [HD, D]
+    the o_net kernel.  The forward computes o = wo^T vec in-kernel; the
+    backward emits d(vec) directly and accumulates dWo residently —
+    the separate o einsum, its HBM round trip, and XLA's dWo contraction
+    disappear.  Returns y [B, D, T]."""
+    (y,) = _ffn_fwd_call(x, vec, wo, w1, b1, w2, b2, g1, be1, g2, be2,
+                         seed, dropout_p, train, save=False)
+    return y
+
+
+def _ffn_block_fused_o_fwd(x, vec, wo, w1, b1, w2, b2, g1, be1, g2, be2,
+                           seed, dropout_p, train):
+    y, z1, z2, h1, stats = _ffn_fwd_call(
+        x, vec, wo, w1, b1, w2, b2, g1, be1, g2, be2, seed, dropout_p,
+        train, save=True)
+    return y, (x, vec, wo, w1, b1, w2, b2, g1, be1, g2, be2, seed, z1, z2,
+               h1, stats)
+
+
+def _ffn_block_fused_o_bwd(dropout_p, train, residuals, dy):
+    (x, vec, wo, w1, b1, w2, b2, g1, be1, g2, be2, seed, z1, z2, h1,
+     stats) = residuals
+    (dx, dvec, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2,
+     dwo) = _ffn_bwd_call(
+        x, vec, wo, w1, b1, w2, g1, be1, g2, be2, seed, z1, z2, h1, stats,
+        dy, dropout_p, train)
+    return (dx, dvec, dwo.astype(wo.dtype), dw1.astype(w1.dtype),
+            db1[:, 0].astype(b1.dtype), dw2.astype(w2.dtype),
+            db2[:, 0].astype(b2.dtype), dg1[:, 0].astype(g1.dtype),
+            dbe1[:, 0].astype(be1.dtype), dg2[:, 0].astype(g2.dtype),
+            dbe2[:, 0].astype(be2.dtype), None)
+
+
+ffn_block_fused_o.defvjp(_ffn_block_fused_o_fwd, _ffn_block_fused_o_bwd)

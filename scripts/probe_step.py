@@ -77,7 +77,12 @@ def main():
     all_keys = sorted({k for _, env in specs for k in env})
     ambient = {k: os.environ.get(k) for k in all_keys}
 
-    built = []
+    # Sequential build -> time -> free: the full-size state + blocked ring
+    # buffer is ~2 GB of HBM per variant, so holding several variants for an
+    # interleaved A/B exhausts the chip.  Rounds within a variant still
+    # bracket chip drift; compare medians.
+    results = {}
+    shape = None
     for name, env in specs:
         for k in all_keys:
             if ambient[k] is None:
@@ -88,7 +93,6 @@ def main():
         t0 = time.perf_counter()
         try:
             step, state, memory, batch, key = build_step()
-            # warmup/compile
             s, m = state, memory
             for _ in range(3):
                 s, m, metrics = step(s, m, *batch, key)
@@ -99,26 +103,27 @@ def main():
             continue
         print(f"[{name}] built+compiled in {time.perf_counter()-t0:.0f}s "
               f"env={env}", flush=True)
-        built.append((name, step, s, m, batch, key))
-
-    results = {name: [] for name, *_ in built}
-    for r in range(args.rounds):
-        for name, step, s, m, batch, key in built:
-            for _ in range(2):  # re-warm
-                s, m, metrics = step(s, m, *batch, key)
-            float(metrics["nll_sum"])
+        shape = batch[0].shape
+        times = []
+        for r in range(args.rounds):
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 s, m, metrics = step(s, m, *batch, key)
             float(metrics["nll_sum"])
             dt = (time.perf_counter() - t0) / args.steps * 1e3
-            results[name].append(dt)
+            times.append(dt)
             print(f"round {r} [{name}] {dt:.2f} ms/step", flush=True)
+        results[name] = times
+        del step, state, memory, s, m, batch, metrics
+        import gc
+        gc.collect()
+        import jax as _jax
+        _jax.clear_caches()
 
     print("\n== medians ==")
-    b, t = batch[0].shape
     for name, times in results.items():
         med = statistics.median(times)
+        b, t = shape
         print(f"[{name}] {med:.2f} ms/step  "
               f"({b * t / med * 1e3 / 1e3:.1f}k tokens/s)")
 

@@ -82,3 +82,71 @@ def test_gradient_parity():
         np.testing.assert_allclose(
             np.asarray(vp), np.asarray(vx), rtol=5e-3, atol=5e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("fwd_hp", ["2", "1"])
+def test_proj_in_fwd_parity(monkeypatch, fwd_hp):
+    """COMMU_PROJ_IN_FWD=1 (memory k/v projected inside the forward kernel)
+    must match the separate-projection path bit-for-bit in value and grads —
+    both with one head group (static head indexing) and with hp < heads
+    (dynamic indexing through the freshly-written output block)."""
+    xla_model, pal_model, params = _setup()
+    rng = np.random.RandomState(2)
+    tokens = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    targets = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    memory = init_memory(N_LAYER, 3, M, D_MODEL)
+    warm = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    _, memory = xla_model.apply({"params": params}, warm, memory)
+
+    def run():
+        def f(p):
+            logits, _ = pal_model.apply({"params": p}, tokens, memory)
+            nll = token_nll(logits, targets)
+            return (nll * (targets != PAD_ID)).mean()
+        return jax.value_and_grad(f)(params)
+
+    monkeypatch.setenv("COMMU_FWD_HP", fwd_hp)
+    monkeypatch.delenv("COMMU_PROJ_IN_FWD", raising=False)
+    l0, g0 = run()
+    monkeypatch.setenv("COMMU_PROJ_IN_FWD", "1")
+    l1, g1 = run()
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(g1)[0])
+    for path, v0 in flat0:
+        np.testing.assert_array_equal(
+            np.asarray(flat1[path]), np.asarray(v0),
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_o_in_ffn_parity(monkeypatch):
+    """COMMU_O_IN_FFN=1 (o projection fused into the FFN-block kernel) must
+    match the separate o-einsum path in value and grads to fp tolerance (the
+    matmul operand orders differ, so bit-equality is not expected)."""
+    xla_model, pal_model, params = _setup()
+    rng = np.random.RandomState(3)
+    tokens = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    targets = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    memory = init_memory(N_LAYER, 3, M, D_MODEL)
+    warm = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    _, memory = xla_model.apply({"params": params}, warm, memory)
+
+    def run():
+        def f(p):
+            logits, _ = pal_model.apply({"params": p}, tokens, memory)
+            nll = token_nll(logits, targets)
+            return (nll * (targets != PAD_ID)).mean()
+        return jax.value_and_grad(f)(params)
+
+    monkeypatch.delenv("COMMU_O_IN_FFN", raising=False)
+    l0, g0 = run()
+    monkeypatch.setenv("COMMU_O_IN_FFN", "1")
+    l1, g1 = run()
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-6)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(g1)[0])
+    for path, v0 in flat0:
+        np.testing.assert_allclose(
+            np.asarray(flat1[path]), np.asarray(v0), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
