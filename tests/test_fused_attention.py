@@ -150,3 +150,35 @@ def test_o_in_ffn_parity(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(flat1[path]), np.asarray(v0), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_clamp_softmax_parity_and_underflow_guard(monkeypatch):
+    """COMMU_SOFTMAX=clamp must match the max-subtracting softmax for scores
+    in the shift-equal range, and must stay FINITE (not 1/0 = NaN) when an
+    entire row's scores sit below exp's f32 underflow (~-87) — the mode that
+    NaN'd a real-data training run at step 95 before the denominator guard
+    (reference softmax being replaced: /root/reference/commu/model/model.py:330)."""
+    from commu_tpu.ops.fused_attention import _attn_softmax
+
+    rng = np.random.RandomState(7)
+    s_normal = jnp.asarray(rng.randn(8, 16) * 10.0, dtype=jnp.float32)
+    s_under = s_normal - 500.0  # whole rows below exp underflow
+
+    def run(s):
+        probs, chk = _attn_softmax(None, s, 0, 0, t=8, k_len=16,
+                                   dropout_p=0.0, train=False)
+        return np.asarray(probs)
+
+    monkeypatch.setenv("COMMU_SOFTMAX", "max")
+    p_max = run(s_normal)
+    monkeypatch.setenv("COMMU_SOFTMAX", "clamp")
+    p_clamp = run(s_normal)
+    np.testing.assert_allclose(p_clamp, p_max, rtol=1e-6, atol=1e-7)
+
+    p_under = run(s_under)
+    assert np.isfinite(p_under).all()  # guard: degraded-to-zero, never NaN
+    assert (p_under == 0.0).all()
+    # the subtracting form is shift-invariant there (up to the f32 mantissa
+    # bits the -500 shift itself costs the scores)
+    monkeypatch.setenv("COMMU_SOFTMAX", "max")
+    np.testing.assert_allclose(run(s_under), p_max, rtol=5e-3, atol=1e-6)
