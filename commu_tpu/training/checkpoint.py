@@ -63,12 +63,21 @@ class CheckpointManager:
 
     def restore(self, name: str, template_state) -> tuple[Any, float]:
         """Restore (TrainState, best_val_nll); ``template_state`` supplies the
-        tree structure/shapes/dtypes."""
+        tree structure/shapes/dtypes.
+
+        The target is ABSTRACT (ShapeDtypeStructs): Orbax only needs the tree
+        shape/dtype skeleton, and materializing the template's device arrays
+        on host here would read the entire state back through the runtime
+        leaf-by-leaf (hundreds of MB) for nothing."""
         import orbax.checkpoint as ocp
 
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x),
+                                           jax.numpy.result_type(x)),
+            (template_state.params, template_state.opt_state))
         target = {
-            "params": _to_host(template_state.params),
-            "opt_state": _to_host(template_state.opt_state),
+            "params": abstract[0],
+            "opt_state": abstract[1],
             "step": 0,
             "best_val_nll": 0.0,
         }
