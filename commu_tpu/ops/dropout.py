@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _VMEM_LIMIT, _interpret, random_keep
+from .fused_attention import _interpret, _vmem_limit, random_keep
 
 # site salts: keep the embedding / output streams disjoint from each other
 # (they also use independently drawn base seeds; the salt is belt-and-braces)
@@ -60,7 +60,7 @@ def _drop_call(x, seed, dropout_p, salt):
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(jnp.asarray(seed, jnp.int32).reshape(1), x)
 

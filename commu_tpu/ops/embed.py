@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _VMEM_LIMIT, _interpret
+from .fused_attention import _interpret, _vmem_limit
 
 
 def _embed_grad_kernel(tok_ref, g_ref, demb_ref, *, rp):
@@ -59,7 +59,7 @@ def _embed_grad(tokens, g_bdt, scale, v):
         grid=(batch // rp,),
         in_specs=[bt, gb], out_specs=acc,
         out_shape=jax.ShapeDtypeStruct((v, d), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(tokens.astype(jnp.int32)[:, None, :], g_bdt)
     return demb * scale

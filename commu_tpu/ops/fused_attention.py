@@ -6,7 +6,7 @@ shape (B=64 per chunk, H=10, T=128, K=1152) that is ~1.1 GB of HBM traffic
 per layer per direction, the dominant cost of the step.  This kernel keeps
 the whole score row-block in VMEM (K=1152 keys x 128 queries x f32 = 590 KB
 per head), so scores/probabilities never touch HBM.  The kernels run under
-a raised 40 MB vmem cap (``_VMEM_LIMIT``) — the all-heads-in-one-program
+a raised 40 MB vmem cap (``_vmem_limit``, COMMU_VMEM_MB) — the all-heads-in-one-program
 working set of the memory-fused backward exceeds Mosaic's 16 MB default.
 
 Operand layout: every tensor carries the head dim on SUBLANES and the token
@@ -97,10 +97,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-# The default Mosaic scoped-vmem limit is 16 MB; the memory-fused backward
-# sits right at it (16.17 MB with the blocked kv operands).  v5e cores have
-# far more physical VMEM — raise the cap for the attention kernels.
-_VMEM_LIMIT = 40 * 1024 * 1024
+def _vmem_limit() -> int:
+    """Mosaic scoped-vmem cap for the attention kernels (bytes).
+
+    The default Mosaic limit is 16 MB; the memory-fused backward sits right
+    at it (16.17 MB with the blocked kv operands) and hp=10 / COMMU_FWD_RP=2
+    need more.  v5e cores have 128 MB of physical VMEM — 40 MB is the
+    measured-safe default; COMMU_VMEM_MB overrides (read at trace time so
+    perf probes can vary it per build; e.g. COMMU_FWD_RP=4 wants ~80)."""
+    import os
+    return int(os.environ.get("COMMU_VMEM_MB", "40")) * 1024 * 1024
 
 def _fpad(d_model: int) -> int:
     """Frequency-lane padding: the d_model/2 frequencies are padded to a
@@ -262,37 +268,39 @@ def _trig_combine_bwd(dphi, trig_a):
     return jnp.concatenate([du_s, du_c], axis=1)
 
 
-def _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh):
+def _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh, rr=0):
     """Assemble one head's k/v [dh, K] in VMEM from the blocked memory slabs
-    ([1, R, hp, dh, Tb] ring layout) and the window half."""
+    ([rp, R, hp, dh, Tb] ring layout) and the window half.  ``rr`` selects
+    the local batch row when the forward runs more than one row per
+    program (COMMU_FWD_RP)."""
     if km_ref is not None:
         r_blocks = km_ref.shape[1]
         k = jnp.concatenate(
-            [km_ref[0, r, hh] for r in range(r_blocks)] + [kw_ref[0, hh]],
+            [km_ref[rr, r, hh] for r in range(r_blocks)] + [kw_ref[rr, hh]],
             axis=1)                                  # [dh, K]
         v = jnp.concatenate(
-            [vm_ref[0, r, hh] for r in range(r_blocks)] + [vw_ref[0, hh]],
+            [vm_ref[rr, r, hh] for r in range(r_blocks)] + [vw_ref[rr, hh]],
             axis=1)
     else:
-        k = kw_ref[0, hh]
-        v = vw_ref[0, hh]
+        k = kw_ref[rr, hh]
+        v = vw_ref[rr, hh]
     return k, v
 
 
-def _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale):
+def _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale, rr=0):
     """The two query streams, IN-KERNEL: qw = q*scale + rwb*scale (content)
     and qr likewise (position).  The scaled biases arrive as resident
     [H, dh, 1] blocks (``_scaled_biases``) broadcast over the T lanes —
     folding in-kernel removes the per-layer XLA fold fusion AND halves the
     q-stream HBM traffic (one q operand instead of qw + qr, forward and
     backward; ~130 MB/layer at the training shape)."""
-    q = q_ref[0, hh, :, :]                           # [dh, T]
+    q = q_ref[rr, hh, :, :]                          # [dh, T]
     qs = q * q.dtype.type(scale)
     return qs + rwbs_ref[h], qs + rrbs_ref[h]
 
 
 def _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
-                 psi_ref, mask_ref, b, h, hh, k, v, scale):
+                 psi_ref, mask_ref, b, h, hh, k, v, scale, rr=0):
     """Score phase (MXU): masked scores s f32 [T, K] plus this head's v.
 
     The content/position biases AND the 1/sqrt(dh) scale are folded into the
@@ -301,7 +309,7 @@ def _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
     f32 accumulation via preferred_element_type — casting to f32 first would
     halve throughput.
     """
-    qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale)
+    qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale, rr)
     w_r = wr_ref[h]                                  # [dh, 512] (resident)
     psi = psi_ref[:, :]                              # [512, K]  (resident)
 
@@ -371,54 +379,61 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
 
 
 def _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
-              psi_ref, mask_ref, o_ref, e_ref, head_kv, b, hg,
-              *, t, k_len, dropout_p, train, hp, scale):
-    """Shared forward body: software-pipelined head loop over
-    ``head_kv(hh) -> (k, v)`` (either DMA'd pre-projected halves or the
-    pre-projected memory halves or the window-only case)."""
-    def finish(hh, h, s, v):
+              psi_ref, mask_ref, o_ref, e_ref, head_kv, b0, hg,
+              *, t, k_len, dropout_p, train, hp, scale, rp=1):
+    """Shared forward body: software-pipelined loop over (row, head) units
+    with ``head_kv(rr, hh) -> (k, v)`` (either DMA'd pre-projected halves
+    or the window-only case).  With COMMU_FWD_RP > 1 the program covers
+    ``rp`` batch rows; units iterate heads-outer / rows-inner so adjacent
+    units share no operands at all (different rows), giving the scheduler
+    fully independent MXU work to overlay on every VPU softmax phase.
+    Per-row dropout seeds and reset rows use the GLOBAL row index, so the
+    outputs are bitwise-identical for every rp."""
+    def finish(rr, hh, h, s, v, b):
         probs, chk = _attn_softmax(scalar_ref, s, b, h, t=t, k_len=k_len,
                                    dropout_p=dropout_p, train=train)
         o = jax.lax.dot_general(v, probs.astype(v.dtype),
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [dh,T]
-        o_ref[0, hh, :, :] = o.astype(o_ref.dtype)
+        o_ref[rr, hh, :, :] = o.astype(o_ref.dtype)
         if e_ref is not None:
             # the VJP forward checkpoints the NORMALIZED probabilities with
             # the dropout mask sign-encoded, so the backward never re-runs
             # the score matmuls, the softmax normalization, NOR the dropout
             # PRNG — at bf16 this is 295 KB per program, far cheaper than
             # recomputing AC + BD + u
-            e_ref[0, hh, :, :] = chk.astype(e_ref.dtype)
+            e_ref[rr, hh, :, :] = chk.astype(e_ref.dtype)
 
-    # software-pipelined heads: head hh+1's score matmuls (MXU) are emitted
-    # BEFORE head hh's softmax/output phase, giving the scheduler a full
-    # head of independent MXU work to overlay on each VPU phase (the
+    # software-pipelined units: unit u+1's score matmuls (MXU) are emitted
+    # BEFORE unit u's softmax/output phase, giving the scheduler a full
+    # unit of independent MXU work to overlay on each VPU phase (the
     # unrolled-in-order form measured ~30% below the overlapped floor)
-    depth = _pipe_depth()
+    depth = _pipe_depth("fwd")
     pend = []
     for hh in range(hp):
-        h = hg * hp + hh
-        k, v = head_kv(hh)
-        s, v = _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref,
-                            trig_ref, psi_ref, mask_ref, b, h, hh, k, v,
-                            scale)
-        pend.append((hh, h, s, v))
-        if len(pend) > depth:
-            finish(*pend.pop(0))
+        for rr in range(rp):
+            h = hg * hp + hh
+            b = b0 * rp + rr
+            k, v = head_kv(rr, hh)
+            s, v = _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref,
+                                wr_ref, trig_ref, psi_ref, mask_ref, b, h,
+                                hh, k, v, scale, rr)
+            pend.append((rr, hh, h, s, v, b))
+            if len(pend) > depth:
+                finish(*pend.pop(0))
     for st in pend:
         finish(*st)
 
 
 def _fwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
                 vm_ref, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, o_ref,
-                e_ref=None, *, t, k_len, dropout_p, train, hp, scale):
-    b, hg = pl.program_id(0), pl.program_id(1)
+                e_ref=None, *, t, k_len, dropout_p, train, hp, scale, rp=1):
+    b0, hg = pl.program_id(0), pl.program_id(1)
     _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
               psi_ref, mask_ref, o_ref, e_ref,
-              lambda hh: _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh),
-              b, hg, t=t, k_len=k_len, dropout_p=dropout_p, train=train,
-              hp=hp, scale=scale)
+              lambda rr, hh: _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh, rr),
+              b0, hg, t=t, k_len=k_len, dropout_p=dropout_p, train=train,
+              hp=hp, scale=scale, rp=rp)
 
 
 def proj_in_fwd() -> bool:
@@ -484,7 +499,8 @@ def _fwd_kernel_proj(scalar_ref, q_ref, rwbs_ref, rrbs_ref, mem_ref, wk_ref,
         return k, v
 
     _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
-              psi_ref, mask_ref, o_ref, e_ref, head_kv,
+              psi_ref, mask_ref, o_ref, e_ref,
+              lambda rr, hh: head_kv(hh),
               b, hg, t=t, k_len=k_len, dropout_p=dropout_p, train=train,
               hp=hp, scale=scale)
 
@@ -545,7 +561,7 @@ def _fused_fwd_proj(q, rwbs, rrbs, mem, layer_idx, wk3, wv3, k_win, v_win,
         in_specs=in_specs, out_specs=out_specs)
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(scalars, q, rwbs, rrbs, mem, wk, wv, k_win, v_win, w_r, trig_a, psi,
       mask)
@@ -559,13 +575,13 @@ def _bwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
     b, hg = pl.program_id(0), pl.program_id(1)
     m_cap = k_len - t
 
-    def stage_a(h, hh):
+    def stage_a(h, hh, rr):
         return _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref,
                             kw_ref, vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
                             t=t, k_len=k_len, dropout_p=dropout_p,
                             train=train, scale=scale)
 
-    def finish(hh, h, a):
+    def finish(rr, hh, h, a):
         dq, dk, dv, dwr_wide = _bwd_stage_b(
             wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p,
             scale=scale)
@@ -582,15 +598,17 @@ def _bwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
 
 def _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
                  vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
-                 *, t, k_len, dropout_p, train, scale):
+                 *, t, k_len, dropout_p, train, scale, rr=0):
     """Backward stage A for one head: restore the softmax state from the
     checkpointed normalized probabilities and run the first matmul pair
     (dv, dp).
     ``b``/``h`` are LOGICAL batch/head indices (the dropout mask regenerates
-    from them, independent of grid order)."""
-    qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale)
-    k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh)
-    c = e_ref[0, hh, :, :].astype(jnp.float32)                       # [T,K]
+    from them, independent of grid order); ``rr`` selects the local batch
+    row when the backward runs more than one row per program
+    (COMMU_BWD_RP)."""
+    qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale, rr)
+    k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh, rr)
+    c = e_ref[rr, hh, :, :].astype(jnp.float32)                      # [T,K]
     if train and dropout_p > 0.0:
         # dropout mask sign-encoded in the checkpoint (see _attn_softmax):
         # NO prng in the backward
@@ -598,7 +616,7 @@ def _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
         probs = jnp.maximum(c, 0.0) * (1.0 / (1.0 - dropout_p))
     else:
         probs = p_clean = c
-    do = do_ref[0, hh, :, :]                                          # [dh,T]
+    do = do_ref[rr, hh, :, :]                                         # [dh,T]
 
     # dv uses the POST-dropout probabilities (o = dropout(p) @ v)
     probs_c = probs.astype(do.dtype)
@@ -670,29 +688,36 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
     return dq, dk, dv, dwr_wide
 
 
-def _pipe_depth() -> int:
-    """Heads in flight ahead of the finish phase (COMMU_PIPE_DEPTH).
+def _pipe_depth(role: str = "fwd") -> int:
+    """Heads in flight ahead of the finish phase (COMMU_PIPE_DEPTH; the
+    per-direction COMMU_FWD_PIPE / COMMU_BWD_PIPE take precedence).
 
     Depth 1 measured best while the finish phase was VPU-heavy (round 1);
     after the sign-encoded-checkpoint rewrite shrank the vector phases,
     depth 3 buys ~1.6 ms/step at the training shape (98.3 -> 96.7 ms) —
     deeper lookahead beyond that costs VMEM without more overlap."""
     import os
+    env = os.environ.get(f"COMMU_{role.upper()}_PIPE")
+    if env:
+        return int(env)
     return int(os.environ.get("COMMU_PIPE_DEPTH", "3"))
 
 
-def _bwd_pipeline(hp, hg, stage_a, finish):
-    """Software-pipelined head loop: head hh+1's stage A (checkpoint restore
-    + dv/dp matmuls) is emitted BEFORE head hh's stage B, interleaving
-    independent MXU and VPU work across heads (same reasoning as
-    ``_fwd_kernel``; measured ~10% on the whole step)."""
-    depth = _pipe_depth()
+def _bwd_pipeline(hp, hg, stage_a, finish, rp=1):
+    """Software-pipelined (row, head) loop: unit u+1's stage A (checkpoint
+    restore + dv/dp matmuls) is emitted BEFORE unit u's stage B,
+    interleaving independent MXU and VPU work across units (same reasoning
+    as ``_fwd_kernel``; measured ~10% on the whole step).  With
+    COMMU_BWD_RP > 1 units iterate heads-outer / rows-inner, mirroring the
+    forward's row pairing."""
+    depth = _pipe_depth("bwd")
     pend = []
     for hh in range(hp):
-        h = hg * hp + hh
-        pend.append((hh, h, stage_a(h, hh)))
-        if len(pend) > depth:
-            finish(*pend.pop(0))
+        for rr in range(rp):
+            h = hg * hp + hh
+            pend.append((rr, hh, h, stage_a(h, hh, rr)))
+            if len(pend) > depth:
+                finish(*pend.pop(0))
     for st in pend:
         finish(*st)
 
@@ -809,17 +834,17 @@ def heads_per_program(heads: int, role: str = "fwd") -> int:
 
 
 def _fused_call(kernel_fn, outs, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win,
-                w_r, trig_a, psi, mask, scalars, extra=(), hp=None):
+                w_r, trig_a, psi, mask, scalars, extra=(), hp=None, rp=1):
     batch, heads, dh, t = q.shape
     # k_mem/v_mem are BLOCKED [B, R, H, dh, Tb] (ring slabs; M = R*Tb)
     m_cap = _mem_cap(k_mem)
     if hp is None:
         hp = heads_per_program(heads)
-    bh_t = pl.BlockSpec((1, hp, dh, t), lambda b, h, s: (b, h, 0, 0),
+    bh_t = pl.BlockSpec((rp, hp, dh, t), lambda b, h, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
     if k_mem is not None:
         r_blocks, t_blk = k_mem.shape[1], k_mem.shape[4]
-        bh_m = pl.BlockSpec((1, r_blocks, hp, dh, t_blk),
+        bh_m = pl.BlockSpec((rp, r_blocks, hp, dh, t_blk),
                             lambda b, h, s: (b, 0, h, 0, 0),
                             memory_space=pltpu.VMEM)
     else:
@@ -842,7 +867,7 @@ def _fused_call(kernel_fn, outs, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win,
     has_mem = k_mem is not None
     kv_specs = [bh_m, bh_t, bh_m, bh_t] if has_mem else [bh_t, bh_t]
     # "e" blocks are [T, K] score-shaped (the checkpointed normalized probs)
-    e_blk = pl.BlockSpec((1, hp, t, m_cap + t), lambda b, h, s: (b, h, 0, 0),
+    e_blk = pl.BlockSpec((rp, hp, t, m_cap + t), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
     extra_spec = {"t": bh_t, "e": e_blk}
     in_specs = [bh_t, resident(rwbs.shape), resident(rrbs.shape)] + \
@@ -863,7 +888,7 @@ def _fused_call(kernel_fn, outs, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win,
         out_specs.append(spec)
         out_shape.append(jax.ShapeDtypeStruct((batch, heads, dh, n), dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(batch, heads // hp),
+        num_scalar_prefetch=1, grid=(batch // rp, heads // hp),
         in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
     )
@@ -873,21 +898,58 @@ def _fused_call(kernel_fn, outs, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win,
     return pl.pallas_call(
         kernel_fn, grid_spec=grid_spec,
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(scalars, *operands, *[arr for _, arr in extra])
+
+
+def _fwd_rp(batch: int) -> int:
+    """Batch rows per forward program (COMMU_FWD_RP, default 2).
+
+    Rows are fully independent (separate q/k/v/o/e blocks), so running two
+    per program hands the scheduler cross-row MXU work to hide each row's
+    VPU softmax phase under — the same trick the fused-FFN kernels use
+    (COMMU_FFN_RP).  Costs ~2x the per-program VMEM working set (still
+    well inside the 40 MB cap at the reference shape); measured ~1.5
+    ms/step at the training shape (94.9 vs 96.4 same-session probe, round
+    3), while rp=4 regressed (99.4, needs an 80 MB cap).  The backward
+    stays at one row per program: it is already at its MXU tile floor, and
+    its resident dW accumulators leave less VMEM headroom."""
+    import os
+    rp = int(os.environ.get("COMMU_FWD_RP", "2"))
+    while rp > 1 and batch % rp:
+        rp -= 1
+    return max(rp, 1)
+
+
+def _bwd_rp(batch: int) -> int:
+    """Batch rows per backward program in the memory-fused backward
+    (COMMU_BWD_RP, default 1).
+
+    Same cross-row MXU/VPU interleave rationale as ``_fwd_rp``; the
+    backward's per-program working set is ~2x the forward's (checkpoint +
+    do + the dW slab matmuls' operands), so rp=2 roughly doubles a ~16 MB
+    set — raise COMMU_VMEM_MB when probing.  The per-head-group dW
+    accumulator blocks do NOT scale with rp (they are grid-resident)."""
+    import os
+    rp = int(os.environ.get("COMMU_BWD_RP", "1"))
+    while rp > 1 and batch % rp:
+        rp -= 1
+    return max(rp, 1)
 
 
 def _fused_fwd(q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
                mask, scalars, dropout_p, train, scale, save_e=False):
     t = q.shape[3]
     m_cap = _mem_cap(k_mem)
+    rp = _fwd_rp(q.shape[0])
     kernel = _mem_kernel(functools.partial(
         _fwd_kernel, t=t, k_len=m_cap + t, dropout_p=dropout_p, train=train,
-        hp=heads_per_program(q.shape[1]), scale=scale), k_mem is not None)
+        hp=heads_per_program(q.shape[1]), scale=scale, rp=rp),
+        k_mem is not None)
     outs = [("t", q.dtype)] + ([("e", q.dtype)] if save_e else [])
     out = _fused_call(kernel, outs, q, rwbs, rrbs, k_mem, k_win,
-                      v_mem, v_win, w_r, trig_a, psi, mask, scalars)
+                      v_mem, v_win, w_r, trig_a, psi, mask, scalars, rp=rp)
     if not save_e:
         return out, None
     out, e = out
@@ -949,81 +1011,102 @@ def _bwd_kernel_mem(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
                     vm_ref, vw_ref, mem_ref, wr_ref, trig_ref, psi_ref,
                     mask_ref, do_ref, e_ref,
                     dq_ref, dkw_ref, dvw_ref, dwk_ref, dwv_ref,
-                    dwr_ref, *, t, k_len, dropout_p, train, hp, scale):
+                    dwr_ref, *, t, k_len, dropout_p, train, hp, scale, rp=1):
     """Backward with the memory-half weight gradients accumulated IN-KERNEL.
 
-    Grid is (H/hp, B) — batch INNERMOST — so the dWk/dWv/dWr accumulator
+    Grid is (H/hp, B/rp) — batch INNERMOST — so the dWk/dWv/dWr accumulator
     blocks (indexed by the head group alone) stay VMEM-resident across all
     batch steps and are flushed once per head group.  The [B, H, dh, M]
     memory-half cotangents dkm/dvm are consumed on the spot by one dW matmul
     per head GROUP and ring slab against the raw memory block (heads batched
     so the MXU row dim is hp*dh=250, not 50) — they never exist in HBM (at
     the training shape that removes ~3.1 GB of kernel writes plus the
-    relayout copies and separate dW contractions XLA needed)."""
-    hg, b = pl.program_id(0), pl.program_id(1)
+    relayout copies and separate dW contractions XLA needed).  With
+    COMMU_BWD_RP > 1 the program covers ``rp`` batch rows (see
+    ``_bwd_pipeline``); the dW slab matmuls then accumulate over the rows'
+    memory blocks too."""
+    hg, b0 = pl.program_id(0), pl.program_id(1)
     m_cap = k_len - t
-    first = b == 0
-    r_blocks = mem_ref.shape[1]                  # mem_ref [1, R, 1, D, Tb]
+    first = b0 == 0
+    r_blocks = mem_ref.shape[1]                  # mem_ref [1, R, rp, D, Tb]
     t_blk = mem_ref.shape[4]
-    dk_ms, dv_ms, dwrs = [], [], []
+    dk_ms = [[] for _ in range(rp)]
+    dv_ms = [[] for _ in range(rp)]
+    dwrs = []
 
-    def stage_a(h, hh):
+    def stage_a(h, hh, rr):
         return _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref,
-                            kw_ref, vm_ref, vw_ref, do_ref, e_ref, b, h, hh,
+                            kw_ref, vm_ref, vw_ref, do_ref, e_ref,
+                            b0 * rp + rr, h, hh,
                             t=t, k_len=k_len, dropout_p=dropout_p,
-                            train=train, scale=scale)
+                            train=train, scale=scale, rr=rr)
 
-    def finish(hh, h, a):
+    def finish(rr, hh, h, a):
         dq, dk, dv, dwr_wide = _bwd_stage_b(
             wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p,
             scale=scale)
-        dq_ref[0, hh, :, :] = dq.astype(dq_ref.dtype)
-        dkw_ref[0, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
-        dvw_ref[0, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
-        dk_ms.append(dk[:, :m_cap].astype(mem_ref.dtype))        # [dh, M]
-        dv_ms.append(dv[:, :m_cap].astype(mem_ref.dtype))
+        dq_ref[rr, hh, :, :] = dq.astype(dq_ref.dtype)
+        dkw_ref[rr, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
+        dvw_ref[rr, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
+        dk_ms[rr].append(dk[:, :m_cap].astype(mem_ref.dtype))    # [dh, M]
+        dv_ms[rr].append(dv[:, :m_cap].astype(mem_ref.dtype))
         dwrs.append(dwr_wide)
 
-    _bwd_pipeline(hp, hg, stage_a, finish)
+    _bwd_pipeline(hp, hg, stage_a, finish, rp=rp)
     # dW_k[group] += dk_mem @ mem^T over all hp heads at once, one matmul
-    # per ring slab (no [D, M] concat of the memory in VMEM), accumulated
-    # f32 across the batch grid (the standalone XLA contraction rounds dkm
-    # to bf16 first; here the per-batch-row dW partial accumulates in f32)
-    dk_g = jnp.concatenate(dk_ms, axis=0)                        # [hp*dh, M]
-    dv_g = jnp.concatenate(dv_ms, axis=0)
-    dwk = dwv = None
-    for r in range(r_blocks):
-        mem_r = mem_ref[0, r, 0]                                 # [D, Tb]
-        sl = slice(r * t_blk, (r + 1) * t_blk)
-        dwk_r = jax.lax.dot_general(dk_g[:, sl], mem_r,
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        dwv_r = jax.lax.dot_general(dv_g[:, sl], mem_r,
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        dwk = dwk_r if dwk is None else dwk + dwk_r
-        dwv = dwv_r if dwv is None else dwv + dwv_r
-    dh, d_model = dk_ms[0].shape[0], mem_ref.shape[3]
-    dwk = dwk.reshape(hp, dh, d_model)
-    dwv = dwv.reshape(hp, dh, d_model)
-    dwr_g = jnp.stack(dwrs, axis=0)                          # [hp,dh,512+128]
+    # per ring slab and local row (no [D, M] concat of the memory in VMEM),
+    # accumulated f32 across the batch grid (the standalone XLA contraction
+    # rounds dkm to bf16 first; here the per-batch-row dW partial
+    # accumulates in f32).  NOTE finish() appends heads-outer/rows-inner,
+    # but dk_ms/dv_ms are indexed by row, so each per-row list is
+    # head-ordered regardless of the pipeline interleave.  Per-row partials
+    # fold into the grid-resident accumulators in GLOBAL batch order, so the
+    # f32 add sequence is IDENTICAL to rp=1's per-program accumulation — any
+    # COMMU_BWD_RP produces bit-equal dWk/dWv/dWr.
+    dh, d_model = dwr_ref.shape[1], mem_ref.shape[3]
+    dwk_rows, dwv_rows, dwr_rows = [], [], []
+    for rr in range(rp):
+        dk_g = jnp.concatenate(dk_ms[rr], axis=0)                # [hp*dh, M]
+        dv_g = jnp.concatenate(dv_ms[rr], axis=0)
+        dwk = dwv = None
+        for r in range(r_blocks):
+            mem_r = mem_ref[0, r, rr]                            # [D, Tb]
+            sl = slice(r * t_blk, (r + 1) * t_blk)
+            dwk_r = jax.lax.dot_general(dk_g[:, sl], mem_r,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            dwv_r = jax.lax.dot_general(dv_g[:, sl], mem_r,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            dwk = dwk_r if dwk is None else dwk + dwk_r
+            dwv = dwv_r if dwv is None else dwv + dwv_r
+        dwk_rows.append(dwk.reshape(hp, dh, d_model))
+        dwv_rows.append(dwv.reshape(hp, dh, d_model))
+        # dwrs index is hh*rp + rr: [rr::rp] is this row in head order
+        dwr_rows.append(jnp.stack(dwrs[rr::rp], axis=0))     # [hp,dh,512+128]
+
+    def fold(ref, rows, fresh):
+        acc = rows[0] if fresh else ref[...] + rows[0]
+        for row in rows[1:]:
+            acc = acc + row
+        ref[...] = acc
 
     @pl.when(first)
     def _():
-        dwk_ref[...] = dwk
-        dwv_ref[...] = dwv
-        dwr_ref[...] = dwr_g
+        fold(dwk_ref, dwk_rows, True)
+        fold(dwv_ref, dwv_rows, True)
+        fold(dwr_ref, dwr_rows, True)
 
     @pl.when(jnp.logical_not(first))
     def _():
-        dwk_ref[...] += dwk
-        dwv_ref[...] += dwv
-        dwr_ref[...] += dwr_g
+        fold(dwk_ref, dwk_rows, False)
+        fold(dwv_ref, dwv_rows, False)
+        fold(dwr_ref, dwr_rows, False)
 
 
 def _bwd_call_mem(kernel_fn, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem,
-                  w_r, trig_a, psi, mask, scalars, do, e, layer_idx):
-    """pallas_call for the memory-fused backward: grid (H/hp, B).
+                  w_r, trig_a, psi, mask, scalars, do, e, layer_idx, rp=1):
+    """pallas_call for the memory-fused backward: grid (H/hp, B/rp).
 
     ``mem`` is the FULL blocked ring buffer [L+1, R, B, D, Tb]; the
     BlockSpec indexes layer ``layer_idx`` directly so no per-layer slice is
@@ -1037,15 +1120,15 @@ def _bwd_call_mem(kernel_fn, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem,
     fdim = w_r.shape[2]
     dtype = q.dtype
 
-    bh_t = pl.BlockSpec((1, hp, dh, t), lambda h, b, s: (b, h, 0, 0),
+    bh_t = pl.BlockSpec((rp, hp, dh, t), lambda h, b, s: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    bh_m = pl.BlockSpec((1, r_blocks, hp, dh, t_blk),
+    bh_m = pl.BlockSpec((rp, r_blocks, hp, dh, t_blk),
                         lambda h, b, s: (b, 0, h, 0, 0),
                         memory_space=pltpu.VMEM)
     mem_spec = pl.BlockSpec(
-        (1, r_blocks, 1, d_model, t_blk),
+        (1, r_blocks, rp, d_model, t_blk),
         lambda h, b, s: (layer_idx, 0, b, 0, 0), memory_space=pltpu.VMEM)
-    e_blk = pl.BlockSpec((1, hp, t, m_cap + t), lambda h, b, s: (b, h, 0, 0),
+    e_blk = pl.BlockSpec((rp, hp, t, m_cap + t), lambda h, b, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
 
     def resident(shape):
@@ -1073,20 +1156,40 @@ def _bwd_call_mem(kernel_fn, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem,
         jax.ShapeDtypeStruct((heads, dh, fdim + 128), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(heads // hp, batch),
+        num_scalar_prefetch=1, grid=(heads // hp, batch // rp),
         in_specs=in_specs, out_specs=out_specs)
     return pl.pallas_call(
         kernel_fn, grid_spec=grid_spec, out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(scalars, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a,
       psi, mask, do, e)
+
+
+def _proj_pipe() -> int:
+    """Slabs in flight ahead of the store phase in the projection kernel
+    (COMMU_PROJ_PIPE).  The store is not free: the [H*dh, Tb] matmul value
+    splits its sublanes at dh=50 boundaries (mid-vreg) and casts to bf16 —
+    emitting the next slab's matmuls first gives the scheduler MXU work to
+    hide that relayout under (same trick as the attention head loops)."""
+    import os
+    return int(os.environ.get("COMMU_PROJ_PIPE", "1"))
 
 
 def _proj_mem_kernel(mem_ref, wk_ref, wv_ref, k_ref, v_ref, *, heads, rp):
     """Per batch-row group: project all R ring slabs of one layer through
     the k and v weights — ONE read of the memory serves both projections."""
     r_blocks = mem_ref.shape[1]
+
+    def finish(row, r, k, v):
+        hdh, t_blk = k.shape
+        k_ref[row, r] = k.reshape(heads, hdh // heads,
+                                  t_blk).astype(k_ref.dtype)
+        v_ref[row, r] = v.reshape(heads, hdh // heads,
+                                  t_blk).astype(v_ref.dtype)
+
+    depth = _proj_pipe()
+    pend = []
     for row in range(rp):
         for r in range(r_blocks):
             m = mem_ref[0, r, row]                               # [D, Tb]
@@ -1094,11 +1197,11 @@ def _proj_mem_kernel(mem_ref, wk_ref, wv_ref, k_ref, v_ref, *, heads, rp):
                                     preferred_element_type=jnp.float32)
             v = jax.lax.dot_general(wv_ref[...], m, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            hdh, t_blk = k.shape
-            k_ref[row, r] = k.reshape(heads, hdh // heads,
-                                      t_blk).astype(k_ref.dtype)
-            v_ref[row, r] = v.reshape(heads, hdh // heads,
-                                      t_blk).astype(v_ref.dtype)
+            pend.append((row, r, k, v))
+            if len(pend) > depth:
+                finish(*pend.pop(0))
+    for st in pend:
+        finish(*st)
 
 
 def _proj_rp(batch: int) -> int:
@@ -1130,7 +1233,7 @@ def project_mem_kv(mem, layer_idx, wk3, wv3):
     # per-program working set scales with rp (block + double-buffered k/v
     # outputs); give the projection kernel headroom beyond the shared cap so
     # COMMU_PROJ_RP=4/8 are probe-able (v5e has 128 MB of physical VMEM)
-    vmem_limit = max(_VMEM_LIMIT, (rp * 13 + 14) * 1024 * 1024)
+    vmem_limit = max(_vmem_limit(), (rp * 13 + 14) * 1024 * 1024)
 
     mem_spec = pl.BlockSpec((1, r_blocks, rp, d_model, t_blk),
                             lambda b: (layer_idx, 0, b, 0, 0),
@@ -1210,12 +1313,14 @@ def _fused_bwd_mem(dropout_p, train, layer_idx, scale, residuals, g):
     m_cap = _mem_cap(k_mem)
     dtype = q.dtype
     fdim = w_r.shape[2]
+    rp = _bwd_rp(q.shape[0])
     kernel = functools.partial(
         _bwd_kernel_mem, t=t, k_len=m_cap + t, dropout_p=dropout_p,
-        train=train, hp=heads_per_program(q.shape[1], "bwd"), scale=scale)
+        train=train, hp=heads_per_program(q.shape[1], "bwd"), scale=scale,
+        rp=rp)
     dq, dkw, dvw, dwk, dwv, dwr_wide = _bwd_call_mem(
         kernel, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a,
-        psi, mask, scalars, g.astype(dtype), e, layer_idx)
+        psi, mask, scalars, g.astype(dtype), e, layer_idx, rp=rp)
     # kernel emits [H, dh, D] f32; the projection slice wants [D, H, dh]
     dwk3 = jnp.transpose(dwk, (2, 0, 1)).astype(wk3.dtype)
     dwv3 = jnp.transpose(dwv, (2, 0, 1)).astype(wv3.dtype)

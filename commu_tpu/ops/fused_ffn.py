@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _VMEM_LIMIT, _interpret, random_keep
+from .fused_attention import _interpret, _vmem_limit, random_keep
 
 LN_EPS = 1e-5
 # distinct dropout streams per (batch row, site)
@@ -387,7 +387,7 @@ def _ffn_fwd_call(x, o, wo, w1, b1, w2, b2, g1, be1, g2, be2, seed,
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=out_shape if save else out_shape[0],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(scalars, *operands)
     return out if save else (out,)
@@ -436,7 +436,7 @@ def _ffn_bwd_call(x, o, wo, w1, b1, w2, g1, be1, g2, be2, seed,
          z1, z2, h1, stats, dy]
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(scalars, *operands)
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _VMEM_LIMIT, _interpret
+from .fused_attention import _interpret, _vmem_limit
 from .fused_ffn import _pipeline
 
 
@@ -151,7 +151,7 @@ def _nll_fwd_call(hidden_dt, emb, bias, targets, save: bool):
                   _bt(rp, (1, t))],
         out_specs=out_specs if save else out_specs[0],
         out_shape=out_shape if save else out_shape[0],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(hidden_dt, emb.astype(jnp.float32),
       bias.astype(jnp.float32).reshape(v, 1),
@@ -176,7 +176,7 @@ def _nll_bwd_call(hidden_dt, emb, bias, targets, lse, dnll):
             jax.ShapeDtypeStruct((v, d), jnp.float32),             # demb
             jax.ShapeDtypeStruct((v, 1), jnp.float32),             # dbias
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(hidden_dt, emb32, emb32.T,
       bias.astype(jnp.float32).reshape(v, 1),

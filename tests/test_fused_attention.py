@@ -119,6 +119,86 @@ def test_proj_in_fwd_parity(monkeypatch, fwd_hp):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_fwd_rp_parity(monkeypatch):
+    """COMMU_FWD_RP>1 (multiple batch rows per forward program) must match
+    the one-row-per-program default bit-for-bit in value and grads: each
+    (row, head) unit's arithmetic is unchanged — only the grid shape and
+    the software-pipeline interleave differ — and the per-row dropout
+    seeds / reset rows are keyed by the GLOBAL row index."""
+    xla_model, pal_model, params = _setup()
+    rng = np.random.RandomState(3)
+    tokens = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    targets = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    memory = init_memory(N_LAYER, 3, M, D_MODEL)
+    warm = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    _, memory = xla_model.apply({"params": params}, warm, memory)
+    reset = jnp.asarray([False, True, False])
+
+    def run():
+        def f(p):
+            logits, _ = pal_model.apply({"params": p}, tokens, memory, reset)
+            nll = token_nll(logits, targets)
+            return (nll * (targets != PAD_ID)).mean()
+        return jax.value_and_grad(f)(params)
+
+    monkeypatch.delenv("COMMU_FWD_RP", raising=False)
+    l0, g0 = run()
+    monkeypatch.setenv("COMMU_FWD_RP", "3")  # batch is 3: one program/row-trio
+    l1, g1 = run()
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(g1)[0])
+    for path, v0 in flat0:
+        np.testing.assert_array_equal(
+            np.asarray(flat1[path]), np.asarray(v0),
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_bwd_rp_parity(monkeypatch):
+    """COMMU_BWD_RP>1 (multiple batch rows per memory-fused backward
+    program) must match the default bit-for-bit in value and grads: each
+    (row, head) unit's arithmetic is unchanged, and the dWk/dWv/dWr
+    per-row partials fold into the grid-resident accumulators in global
+    batch order, reproducing rp=1's f32 add sequence exactly."""
+    xla_model, pal_model, params = _setup()
+    rng = np.random.RandomState(4)
+    tokens = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    targets = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    memory = init_memory(N_LAYER, 3, M, D_MODEL)
+    warm = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    _, memory = xla_model.apply({"params": params}, warm, memory)
+    reset = jnp.asarray([False, True, False])
+
+    def run():
+        def f(p):
+            logits, _ = pal_model.apply({"params": p}, tokens, memory, reset)
+            nll = token_nll(logits, targets)
+            return (nll * (targets != PAD_ID)).mean()
+        return jax.value_and_grad(f)(params)
+
+    monkeypatch.delenv("COMMU_BWD_RP", raising=False)
+    l0, g0 = run()
+    monkeypatch.setenv("COMMU_BWD_RP", "3")  # batch is 3: one program/row-trio
+    l1, g1 = run()
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(g1)[0])
+    for path, v0 in flat0:
+        key = jax.tree_util.keystr(path)
+        if "r_w_bias" in key or "r_r_bias" in key:
+            # the [dh]-sized bias-gradient VPU reductions (sum over T) may
+            # be re-vectorized by XLA in the differently-unrolled rp>1
+            # program — a ~1-ulp association artifact of the compiler, not
+            # of the kernel's accumulation order (which is batch-global for
+            # dWk/dWv/dWr and exact, as the w_r / wk/wv rows verify)
+            np.testing.assert_allclose(
+                np.asarray(flat1[path]), np.asarray(v0),
+                rtol=1e-5, atol=1e-12, err_msg=key)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(flat1[path]), np.asarray(v0), err_msg=key)
+
+
 def test_o_in_ffn_parity(monkeypatch):
     """COMMU_O_IN_FFN=1 (o projection fused into the FFN-block kernel) must
     match the separate o-einsum path in value and grads to fp tolerance (the
