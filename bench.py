@@ -22,6 +22,8 @@ BASELINE_TOKENS_PER_SEC = 70_000.0  # estimated reference A100 (BASELINE.md)
 
 
 def main():
+    from commu_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -67,6 +67,8 @@ def mismatch(a, b, rtol, atol):
 
 
 def main():
+    from commu_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -66,6 +66,8 @@ def main():
     args = parse_args()
 
     import os
+    from commu_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         # Honor the env var even when a sitecustomize pre-selected a platform.
