@@ -299,7 +299,22 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         from ..models.transformer_xl import resolve_attn_impl
         ring = (resolve_attn_impl(cfg.model) == "pallas"
                 and 0 < t_len <= m_cap and m_cap % t_len == 0)
-        if unroll:
+        if n_chunks == 1:
+            # one physical micro-batch (the production pallas path): no
+            # accumulator — jax.grad directly, skipping the full-pytree
+            # f32 zero-init + add the scan carry pays (~170 MB of HBM
+            # traffic per step at 13.9M params)
+            chunk_mem = Memory(
+                hidden=jax.lax.dynamic_index_in_dim(
+                    memory.hidden, 0, 0, keepdims=False),
+                count=memory.count, head=memory.head,
+                transposed=memory.transposed)
+            grads, (rows, nll_sum, token_count) = jax.grad(
+                chunk_loss, has_aux=True)(
+                    state.params, chunk_mem, inputs, targets, reset,
+                    jax.random.fold_in(base_rng, 0))
+            new_rows = tuple(r[None] for r in rows)  # [C=1, B, ...]
+        elif unroll:
             # unrolled micro-batches: XLA assigns each chunk's memory slice
             # the layout its consumers want (the lax.scan carry forces one
             # layout onto producer AND consumer)
