@@ -299,6 +299,14 @@ def make_train_step(model: TransformerXL, cfg: TrainingConfig,
         from ..models.transformer_xl import resolve_attn_impl
         ring = (resolve_attn_impl(cfg.model) == "pallas"
                 and 0 < t_len <= m_cap and m_cap % t_len == 0)
+        # the chunked-memory paths below index memory.hidden's leading chunk
+        # axis by [0, n_chunks); a TrainMemory built with a different
+        # physical chunk count would silently train on partial XL memory
+        if memory.hidden.shape[0] != n_chunks:
+            raise ValueError(
+                f"TrainMemory has {memory.hidden.shape[0]} physical chunks "
+                f"but the step was built for {n_chunks} "
+                "(init_train_memory and make_train_step must agree)")
         if n_chunks == 1:
             # one physical micro-batch (the production pallas path): no
             # accumulator — jax.grad directly, skipping the full-pytree
