@@ -71,6 +71,23 @@ def _gather_row(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
 
 
+def masked_probs(probs: jnp.ndarray, banned: jnp.ndarray,
+                 top_k: int) -> jnp.ndarray:
+    """Top-k-then-ban candidate weights, order-faithful to the reference
+    (midi_inferrer.py:224-233: top-k is taken BEFORE the ban, so a banned
+    in-top-k token shrinks the candidate set rather than admitting the
+    (k+1)-th).  ``jax.lax.top_k`` and the host oracle's stable argsort both
+    break probability ties toward the lower token id.  Returns UNNORMALIZED
+    weights; the categorical draw over their logs is distribution-identical
+    to the host's renormalized ``rng.choice`` (certified statistically by
+    tests/test_generation_parity.py::test_sampler_distribution_parity)."""
+    g = probs.shape[0]
+    _, topi = jax.lax.top_k(probs, top_k)
+    topk_mask = jnp.zeros_like(probs).at[
+        jnp.arange(g)[:, None], topi].set(1.0)
+    return probs * topk_mask * (~banned)
+
+
 def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
                     *, capacity: int, seq_buf: int, chord_cap: int,
                     temperature: float, top_k: int):
@@ -139,10 +156,7 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
 
         # ---- sampling ----------------------------------------------------
         samp = phase_b & ~c1 & ~teach_chord
-        topv, topi = jax.lax.top_k(probs, top_k)
-        topk_mask = jnp.zeros_like(probs).at[
-            jnp.arange(G)[:, None], topi].set(1.0)
-        masked = probs * topk_mask * (~state.banned)
+        masked = masked_probs(probs, state.banned, top_k)
         total = masked.sum(axis=-1)
         fail_now = samp & ((total <= 0) | ~jnp.isfinite(total))
         key, sub = jax.random.split(state.key)
@@ -278,7 +292,12 @@ def build_episode(model, params, cfg: ModelConfig, icfg: InferenceConfig,
     rounds so the loop compiles exactly once."""
     assert len({(i.temperature, i.top_k) for i in inputs}) == 1, \
         "all rows of a batch must share temperature/top_k"
-    capacity = capacity or min(icfg.memory_length, icfg.generation_length + 16)
+    if capacity is None:
+        capacity = min(icfg.memory_length, icfg.generation_length + 16)
+        # block-align so commit() hits the single-block cache_append kernel
+        # instead of the full-buffer select (the extra masked slots only pad
+        # the [G, H, M] score arrays)
+        capacity = -(-capacity // 128) * 128
     seq_buf = icfg.generation_length + 16
     chord_cap = chord_cap or max(
         8, max(len(i.chord_token_components["chord_token"]) for i in inputs))

@@ -36,6 +36,7 @@ from flax import struct
 from ..config import ModelConfig
 from ..ops.fused_attention import (_fpad, _inv_freq, key_trig_basis,
                                    pack_r_kernel)
+from ..ops.layout import cache_append
 
 
 @struct.dataclass
@@ -196,17 +197,27 @@ def commit(cache: KVCache, k_self: jnp.ndarray, v_self: jnp.ndarray,
            advance: jnp.ndarray) -> KVCache:
     """Append each row's self K/V at its current length where ``advance``.
 
-    A full-buffer masked select: measured FASTER than a per-row scatter on
-    TPU (scatters serialize; the select runs at full HBM bandwidth and the
-    donated buffer aliases in place inside the sampling while_loop).
+    When the capacity is block-aligned this routes through the
+    ``cache_append`` Pallas kernel: each (layer, row) program DMAs only the
+    one [H, dh, 128]-lane block containing the write position and the
+    buffers alias in place.  The fallback is a full-buffer masked select —
+    fine for small capacities, but it reads AND rewrites the whole cache
+    every token (~800 MB/token at G=32 full size), which is what made
+    batched generation scale WORSE past batch 8 in round 3
+    (BENCH_generation.json).  A per-row scatter was measured slower than
+    both (scatters serialize on TPU).
     """
     capacity = cache.k.shape[4]
+    new_len = cache.length + advance.astype(jnp.int32)
+    if capacity % 128 == 0:
+        new_k, new_v = cache_append(cache.k, cache.v, k_self, v_self,
+                                    cache.length, advance)
+        return KVCache(k=new_k, v=new_v, length=new_len)
     one_hot = (jnp.arange(capacity)[None, :] == cache.length[:, None])
     write = one_hot & advance[:, None]               # [G, M]
     w = write[None, :, None, None, :]                # [L, G, 1, 1, M]
     new_k = jnp.where(w, k_self[..., None].astype(cache.k.dtype), cache.k)
     new_v = jnp.where(w, v_self[..., None].astype(cache.v.dtype), cache.v)
-    new_len = cache.length + advance.astype(jnp.int32)
     return KVCache(k=new_k, v=new_v, length=new_len)
 
 

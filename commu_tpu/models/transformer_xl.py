@@ -89,17 +89,28 @@ def ring_blocks(capacity: int, block_len: Optional[int]) -> Tuple[int, int]:
 
 def init_memory(num_layers: int, batch: int, capacity: int, d_model: int,
                 dtype=jnp.float32, transposed: bool = False,
-                block_len: Optional[int] = None) -> Memory:
+                block_len: Optional[int] = None,
+                pin_layout: bool = False) -> Memory:
     """``block_len`` (transposed only): ring slab size in tokens — must equal
     the segment length the memory will be updated with (training/eval
-    ``tgt_length``); defaults to ``capacity`` (one slab)."""
+    ``tgt_length``); defaults to ``capacity`` (one slab).
+
+    ``pin_layout`` pins the buffer's physical layout to row-major on TPU —
+    pass True when the memory feeds a layout-pinned jit boundary (the
+    sharded eval step); must stay False under a jit trace (the default:
+    this is called inside traced contexts like decode prefill)."""
     if transposed:
         r, t = ring_blocks(capacity, block_len)
         shape = (num_layers + 1, r, batch, d_model, t)
     else:
         shape = (num_layers + 1, batch, capacity, d_model)
+    if pin_layout:
+        from ..ops.layout import pinned_rowmajor_zeros
+        hidden = pinned_rowmajor_zeros(shape, dtype)
+    else:
+        hidden = jnp.zeros(shape, dtype=dtype)
     return Memory(
-        hidden=jnp.zeros(shape, dtype=dtype),
+        hidden=hidden,
         count=jnp.zeros((), dtype=jnp.int32),
         head=jnp.zeros((), dtype=jnp.int32),
         transposed=transposed,

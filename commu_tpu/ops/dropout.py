@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _interpret, _vmem_limit, random_keep
+from .fused_attention import _interpret, _prng_seed, _vmem_limit, random_keep
 
 # site salts: keep the embedding / output streams disjoint from each other
 # (they also use independently drawn base seeds; the salt is belt-and-braces)
@@ -32,7 +32,7 @@ SALT_EMB, SALT_OUT = 5, 6
 
 
 def _mask(seed, b, salt, shape, dropout_p):
-    pltpu.prng_seed(seed + b * 16384 + salt * 512)
+    _prng_seed(seed + b * 16384 + salt * 512)
     return random_keep(shape, dropout_p)
 
 

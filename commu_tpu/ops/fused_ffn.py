@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _interpret, _vmem_limit, random_keep
+from .fused_attention import _interpret, _prng_seed, _vmem_limit, random_keep
 
 LN_EPS = 1e-5
 # distinct dropout streams per (batch row, site)
@@ -58,7 +58,7 @@ _SALT_O, _SALT_H, _SALT_F = 0, 1, 2
 
 
 def _dropout_mask(seed, b, salt, shape, dropout_p):
-    pltpu.prng_seed(seed + b * 8192 + salt * 2048)
+    _prng_seed(seed + b * 8192 + salt * 2048)
     return random_keep(shape, dropout_p)
 
 

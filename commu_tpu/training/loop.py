@@ -137,12 +137,12 @@ class Trainer:
                 self.eval_batch, ecfg.tgt_length, split=split):
             if batch.reset[0] or memory is None:
                 memory = self._device_memory(
-                    lambda: init_memory(
+                    lambda pin: init_memory(
                         self.cfg.model.num_layers, self.eval_batch,
                         ecfg.mem_length, self.cfg.model.units,
                         dtype=self.model_dtype,
                         transposed=self._transposed_mem(),
-                        block_len=ecfg.tgt_length),
+                        block_len=ecfg.tgt_length, pin_layout=pin),
                     mem_shardings)
             reset = np.zeros(self.eval_batch, dtype=bool)
             nll_sum, tok, memory = self.eval_step(
@@ -176,10 +176,12 @@ class Trainer:
         """Create the XL memory directly on the (possibly multi-host) mesh.
         A host-created buffer cannot be committed to non-addressable devices,
         so under multi-process the zeros are produced by a jitted program
-        with explicit out_shardings."""
+        with explicit out_shardings (which carry the row-major layout pin —
+        init_fn must pass pin_layout=False there since it runs under the
+        trace; single-process init pins inside init_*_memory itself)."""
         if not self.multiprocess:
-            return init_fn()
-        return jax.jit(init_fn, out_shardings=shardings)()
+            return init_fn(True)
+        return jax.jit(lambda: init_fn(False), out_shardings=shardings)()
 
     # ------------------------------------------------------------------
     def train(self, max_step: Optional[int] = None) -> None:
@@ -189,13 +191,13 @@ class Trainer:
         max_step = max_step or tcfg.max_step
         from ..parallel.mesh import _train_memory_shardings
         memory = self._device_memory(
-            lambda: init_train_memory(
+            lambda pin: init_train_memory(
                 self.cfg.model.num_layers, tcfg.batch_size,
                 tcfg.mem_length, self.cfg.model.units,
                 resolve_physical_chunks(self.cfg),
                 dtype=self.model_dtype,
                 transposed=self._transposed_mem(),
-                block_len=tcfg.tgt_length),
+                block_len=tcfg.tgt_length, pin_layout=pin),
             _train_memory_shardings(self.mesh, self._transposed_mem()))
 
         it = self.dataset.train_iterator(

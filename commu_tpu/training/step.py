@@ -66,9 +66,16 @@ class TrainMemory:
 def init_train_memory(num_layers: int, batch: int, capacity: int,
                       d_model: int, n_chunks: int, dtype=jnp.float32,
                       transposed: bool = False,
-                      block_len: Optional[int] = None) -> TrainMemory:
+                      block_len: Optional[int] = None,
+                      pin_layout: bool = True) -> TrainMemory:
     """``block_len`` (transposed only): ring slab size in tokens — must equal
-    the training ``tgt_length``; defaults to ``capacity`` (one slab)."""
+    the training ``tgt_length``; defaults to ``capacity`` (one slab).
+
+    ``pin_layout`` pins the hidden buffer's physical layout to row-major on
+    TPU, matching the sharded step's layout pin in every compilation-cache
+    state (see ops.layout.pinned_rowmajor_zeros).  Pass False when calling
+    under a jit trace (e.g. created through an out_shardings-pinned init
+    program on a multi-host mesh)."""
     if transposed:
         from ..models.transformer_xl import ring_blocks
         r, t = ring_blocks(capacity, block_len)
@@ -76,8 +83,10 @@ def init_train_memory(num_layers: int, batch: int, capacity: int,
     else:
         shape = (n_chunks, num_layers + 1, batch // n_chunks, capacity,
                  d_model)
+    from ..ops.layout import pinned_rowmajor_zeros
+    zeros = pinned_rowmajor_zeros if pin_layout else jnp.zeros
     return TrainMemory(
-        hidden=jnp.zeros(shape, dtype=dtype),
+        hidden=zeros(shape, dtype),
         count=jnp.zeros((), dtype=jnp.int32),
         head=jnp.zeros((), dtype=jnp.int32),
         transposed=transposed,

@@ -1,18 +1,47 @@
-"""Persistent XLA compilation cache (opt-in).
+"""Persistent XLA compilation cache (opt-in: COMMU_COMPILE_CACHE=1).
 
-The full-size train step is a heavy Mosaic/XLA compile (minutes on a cold
-process), so a disk cache is tempting — but it is OFF by default because it
-is measurably unsafe with this package's layout-pinned entry points: on a
-warm cache, ``init_train_memory``'s jitted init comes back with a different
-physical layout than the cold compile produced (swapped B<->D minor dims +
-tiling), and the layout-pinned train step then rejects the argument
-("Layout passed to jit does not match the layout on the respective arg").
-The cache also persists XLA:CPU AOT results whose target machine features
-can mismatch the loading host (XLA warns about possible SIGILL).
+The full-size train step and the generation episode are heavy Mosaic/XLA
+compiles (35-95 s per shape on a cold process), so a disk cache is the
+obvious lever against cold-start — the reference has zero compile latency
+(torch.load and go, commu/midi_generator/model_initializer.py:43-51).  It
+stays OFF by default because warm loads are broken at the PJRT layer on the
+tunneled TPU runtime this build targets.  Two distinct failure modes were
+root-caused on-chip (round 4):
 
-Set COMMU_COMPILE_CACHE=1 to enable anyway (useful for repeat-compiling
-paths without pinned layouts, e.g. generation); COMMU_COMPILE_CACHE_DIR
-overrides the location (default ~/.cache/commu_tpu/jax).
+1. CACHE-KEY COLLISION (fixed): the persistent-cache key omits a jit's
+   result-layout pin, so ``init_train_memory``'s row-major-pinned zeros
+   collided with every plain ``jnp.zeros`` of the same shape and came back
+   with whichever layout populated the entry first (B<->D-swapped tiling),
+   and the layout-pinned train step rejected its own ring buffer ("Layout
+   passed to jit does not match the layout on the respective arg").  Fixed
+   by salting the pinned init's HLO so it can never share a cache entry
+   (ops.layout.pinned_rowmajor_zeros).
+
+2. WARM-LOAD RESULT-LAYOUT CORRUPTION (platform bug, unfixable here): a
+   deserialized executable REPORTS the default/auto layout for its results
+   even when it was compiled with a result-layout pin — the bytes it
+   produces are in the pinned layout, the metadata says otherwise, and the
+   first consumer fails with ``INVALID_ARGUMENT: TPU backend error`` (or
+   would silently misread the buffer).  Measured: the salted pinned zeros
+   returns major_to_minor (0,1,2,3,4,5) on the populating run and
+   (0,1,2,4,3,5) on the warm run of the SAME code.  This breaks every
+   layout-pinned entry point (the sharded train/eval steps pin the donated
+   ring buffer's layout).  ``scripts/verify_cache.py`` reproduces the
+   cold/warm cycle in fresh subprocesses and is the regression gate for
+   ever flipping the default.
+
+CPU processes never cache regardless: XLA:CPU AOT entries embed machine
+features that may not match the loading host (XLA warns about possible
+SIGILL), and CPU compiles are cheap anyway.
+
+Serving-grade cold start therefore comes from PROCESS REUSE, not the disk
+cache: generation compiles once per (batch, capacity) shape per process and
+episodes take ~0.2 s after that — keep the pipeline object alive across
+requests (see generate.py --num_generate batching and the pipeline API).
+
+Set COMMU_COMPILE_CACHE=1 to opt in anyway (e.g. on a runtime whose PJRT
+deserialize round-trips layouts); COMMU_COMPILE_CACHE_DIR overrides the
+location (default ~/.cache/commu_tpu/jax).
 """
 import os
 
@@ -30,9 +59,6 @@ def enable_persistent_cache() -> None:
         os.path.join(os.path.expanduser("~"), ".cache", "commu_tpu", "jax"))
     try:
         import jax
-        # CPU-only processes skip it regardless: XLA:CPU AOT entries embed
-        # machine features that may not match the loading host, and CPU
-        # compiles are cheap anyway.
         if jax.default_backend() == "cpu":
             return
         os.makedirs(cache_dir, exist_ok=True)

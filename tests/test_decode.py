@@ -68,6 +68,53 @@ def test_decode_per_row_lengths():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_cache_append_matches_select_commit():
+    """The block-aligned cache_append path (capacity % 128 == 0) must be
+    semantically identical to the full-buffer masked select, including
+    no-advance rows and rows already at capacity (which must never write)."""
+    from commu_tpu.ops.layout import cache_append
+
+    rng = np.random.default_rng(7)
+    L, G, H, dh, M = 2, 4, 3, 5, 256
+    k = jnp.asarray(rng.normal(size=(L, G, H, dh, M)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(L, G, H, dh, M)), jnp.float32)
+    k_self = jnp.asarray(rng.normal(size=(L, G, H, dh)), jnp.float32)
+    v_self = jnp.asarray(rng.normal(size=(L, G, H, dh)), jnp.float32)
+    length = jnp.array([0, 129, M, 255], jnp.int32)
+    advance = jnp.array([True, True, True, False])
+
+    new_k, new_v = cache_append(k, v, k_self, v_self, length, advance)
+
+    one_hot = (jnp.arange(M)[None, :] == length[:, None])
+    write = np.asarray((one_hot & advance[:, None]))[None, :, None, None, :]
+    ref_k = np.where(write, np.asarray(k_self)[..., None], np.asarray(k))
+    ref_v = np.where(write, np.asarray(v_self)[..., None], np.asarray(v))
+    np.testing.assert_array_equal(np.asarray(new_k), ref_k)
+    np.testing.assert_array_equal(np.asarray(new_v), ref_v)
+    # row 2 was at capacity: untouched
+    np.testing.assert_array_equal(np.asarray(new_k[:, 2]), np.asarray(k[:, 2]))
+
+
+def test_decode_block_aligned_capacity():
+    """Full decode parity through the kernel-routed commit (capacity 128)."""
+    model, params, tokens = _setup()
+    memory = init_memory(CFG.num_layers, G, 0, CFG.units)
+    full_logits, _ = model.apply({"params": params}, tokens, memory)
+
+    cache = init_cache(CFG, G, capacity=128)
+    rel = precompute_rel(params, CFG, max_distance=128)
+    cache = prefill(model, params, CFG, tokens[:, :PRIMER], cache)
+    advance = jnp.ones((G,), dtype=bool)
+    for j in range(PRIMER, T):
+        logits, k_self, v_self = decode_step(params, CFG, rel, tokens[:, j],
+                                             cache)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full_logits[:, j]),
+                                   rtol=2e-4, atol=2e-4)
+        cache = commit(cache, k_self, v_self, advance)
+    assert int(cache.length[0]) == T
+
+
 def test_commit_no_advance_keeps_cache():
     model, params, tokens = _setup()
     cache = init_cache(CFG, G, capacity=T)
