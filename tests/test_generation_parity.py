@@ -159,3 +159,92 @@ def test_jit_sampler_matches_host(tmp_path, chords, seed):
         else:
             assert not failed[g]
             assert outs[g] == host_seq, f"row {g}"
+
+
+def _chi2_ok(counts: np.ndarray, expected: np.ndarray) -> float:
+    """Pearson chi-square statistic over the support, asserted against a
+    normal-approximation bound at ~8 sigma (dof +- 8*sqrt(2*dof)): loose
+    enough to never flake on a seeded draw, tight enough that a wrong
+    renormalization (e.g. top-k after the ban instead of before) fails by
+    orders of magnitude."""
+    support = expected > 0
+    assert counts[~support].sum() == 0, "draw outside the candidate set"
+    chi2 = float(((counts[support] - expected[support]) ** 2
+                  / expected[support]).sum())
+    dof = int(support.sum()) - 1
+    assert chi2 < dof + 8.0 * np.sqrt(2.0 * dof), (chi2, dof)
+    return chi2
+
+
+@pytest.mark.parametrize("banned_ids,top_k", [
+    ([], 32),                      # plain temperature/top-k
+    ([0], 32),                     # the always-banned pad row (quirk-free)
+    (None, 32),                    # bans INSIDE the top-k: renorm over fewer
+    (None, 3),                     # tiny candidate set, near-boundary ties
+])
+def test_sampler_distribution_parity(banned_ids, top_k):
+    """VERDICT r3 #8: temp=0 parity is token-exact; this certifies the
+    STATISTICAL branch at the reference temperature 0.95 — the jit sampler's
+    ``categorical`` over unnormalized masked-prob logs must draw from the
+    same distribution as the host oracle's renormalized ``rng.choice``
+    (reference math: midi_inferrer.py:209-237).  Both empirical
+    distributions are chi-square-tested against the shared analytic
+    distribution on identical logits, including ban/top-k renormalization
+    edge cases."""
+    from commu_tpu.generation.host_sampler import sample_from_logits
+    from commu_tpu.generation.jit_sampler import masked_probs
+
+    temperature, n_draws = 0.95, 100_000
+    rng = np.random.default_rng(11)
+    logits = rng.normal(size=VOCAB_SIZE - 1).astype(np.float32) * 3.0
+
+    # analytic reference distribution (f64): softmax(l/T) -> pad -> top-k
+    # (stable argsort) -> ban -> renorm
+    probs = np.exp((logits / temperature).astype(np.float64)
+                   - (logits / temperature).max())
+    probs = np.concatenate([[0.0], probs / probs.sum()])
+    top_idx = np.argsort(-probs, kind="stable")[:top_k]
+    if banned_ids is None:  # ban the 2nd (and 5th) most likely: inside top-k
+        banned_ids = [int(top_idx[i]) for i in (1, 4) if i < top_k]
+    mask = np.zeros_like(probs)
+    mask[top_idx] = 1.0
+    mask[banned_ids] = 0.0
+    analytic = probs * mask
+    analytic /= analytic.sum()
+
+    # host oracle draws (vectorized equivalent of its rng.choice loop; the
+    # probability vector itself comes from the real sample_from_logits)
+    _, host_probs = sample_from_logits(
+        logits.copy(), temperature, top_k, banned_ids,
+        np.random.default_rng(0), return_probs=True)
+    np.testing.assert_allclose(host_probs, analytic, rtol=1e-12, atol=1e-15)
+    host_draws = np.random.default_rng(1).choice(
+        len(host_probs), size=n_draws, p=host_probs)
+    host_counts = np.bincount(host_draws, minlength=VOCAB_SIZE)
+    chi_host = _chi2_ok(host_counts, analytic * n_draws)
+
+    # jit sampler draws: the REAL masked_probs + the body's categorical form
+    banned_vec = np.zeros((1, VOCAB_SIZE), dtype=bool)
+    banned_vec[0, banned_ids] = True
+    jit_probs = jnp.pad(jax.nn.softmax(jnp.asarray(logits) / temperature),
+                        (1, 0))[None, :]
+    masked = masked_probs(jit_probs, jnp.asarray(banned_vec), top_k)
+    # candidate sets must agree exactly (top-k tie-breaking included)
+    np.testing.assert_array_equal(np.asarray(masked[0]) > 0, analytic > 0)
+    draws = jax.random.categorical(
+        jax.random.PRNGKey(2),
+        jnp.log(jnp.maximum(masked[0], 1e-38)), shape=(n_draws,))
+    jit_counts = np.bincount(np.asarray(draws), minlength=VOCAB_SIZE)
+    chi_jit = _chi2_ok(jit_counts, analytic * n_draws)
+
+    # and the two empirical distributions agree with each other (2-sample
+    # chi-square on the pooled support)
+    support = analytic > 0
+    pooled = (host_counts + jit_counts)[support].astype(np.float64)
+    pooled /= pooled.sum()
+    stat = 0.0
+    for counts in (host_counts, jit_counts):
+        stat += (((counts[support] - n_draws * pooled) ** 2)
+                 / np.maximum(n_draws * pooled, 1e-12)).sum()
+    dof = int(support.sum()) - 1
+    assert stat < dof + 8.0 * np.sqrt(2.0 * dof), (stat, dof, chi_host, chi_jit)
