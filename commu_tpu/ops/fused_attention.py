@@ -385,14 +385,36 @@ def _softmax_clamp() -> bool:
     return os.environ.get("COMMU_SOFTMAX", "max") == "clamp"
 
 
-def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
-    """Softmax phase (VPU): (probs post-dropout, checkpoint value).
+def _defer_norm() -> bool:
+    """COMMU_DEFER_NORM=1: the softmax normalization never touches the
+    [T, K] probability plane.  The forward's output matmul runs on the
+    UNNORMALIZED (dropout-selected) exp values and the row normalizer folds
+    into the [dh, T] output columns AFTER the matmul (row-scaling of probs ==
+    column-scaling of o, and the MXU accumulates in f32 so the fold is
+    exact); the checkpoint stores the sign-encoded unnormalized exps and the
+    backward reconstructs the denominator with a rowsum of |c|.
 
-    The checkpoint SIGN-ENCODES the dropout mask into the normalized
-    probabilities (p_clean >= 0, so the sign bit is free): c = p_clean
-    where kept, -p_clean where dropped.  The backward decodes p_clean =
-    |c| and probs = max(c, 0)/(1-p) — it never touches the PRNG.  (A
-    dropped p_clean == 0 loses the sign, but probs there is 0 either way.)
+    MEASURED SLOWER at the training shape (96.5 vs 95.4 ms/step median,
+    interleaved probe, round 4): the ~2 full-plane VPU passes it removes
+    from the forward were cheaper than the rowsum + broadcast-mul passes it
+    adds to the backward — the backward sits ~1% off its MXU pass floor, so
+    its VPU phases are NOT entirely free.  Default OFF; kept as a probe
+    lever for other shapes (numerics are certified in both modes by
+    tests/test_fused_attention.py and scripts/verify_tpu.py)."""
+    import os
+    return os.environ.get("COMMU_DEFER_NORM", "0") == "1"
+
+
+def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
+    """Softmax phase (VPU): (matmul operand, checkpoint value, col_scale).
+
+    The checkpoint SIGN-ENCODES the dropout mask (values are non-negative,
+    so the sign bit is free): c = v where kept, -v where dropped, with v the
+    normalized probabilities (or the raw exps under ``_defer_norm``).  The
+    backward decodes the keep mask from the sign and never touches the PRNG.
+    (A dropped v == 0 loses the sign, but the post-dropout probability there
+    is 0 either way.)  ``col_scale`` is None when normalization happened
+    in-plane, else the [T, 1] factor to fold into the output columns.
     """
     if _softmax_clamp():
         e = jnp.exp(jnp.minimum(s, 60.0))
@@ -405,15 +427,28 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=1, keepdims=True)
     inv_denom = 1.0 / denom                                          # [T,1]
+    keep_scale = 1.0 / (1.0 - dropout_p) if train and dropout_p > 0.0 else 1.0
+    if _defer_norm():
+        if train and dropout_p > 0.0:
+            _prng_seed(scalar_ref[0] + b * 4096 + h)
+            keep = random_keep((t, k_len), dropout_p)
+            chk = jnp.where(keep, e, -e)
+            # the matmul operand IS the decoded checkpoint (max(chk, 0)):
+            # one select feeds both, and the forward's matmul input matches
+            # the backward's reconstruction bit-for-bit after the bf16 cast
+            operand = jnp.maximum(chk, 0.0)
+        else:
+            operand = chk = e
+        return operand, chk, inv_denom * keep_scale
     p_clean = e * inv_denom
     if train and dropout_p > 0.0:
         _prng_seed(scalar_ref[0] + b * 4096 + h)
         keep = random_keep((t, k_len), dropout_p)
-        probs = jnp.where(keep, p_clean * (1.0 / (1.0 - dropout_p)), 0.0)
+        probs = jnp.where(keep, p_clean * keep_scale, 0.0)
         chk = jnp.where(keep, p_clean, -p_clean)
     else:
         probs = chk = p_clean
-    return probs, chk
+    return probs, chk, None
 
 
 def _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
@@ -428,11 +463,15 @@ def _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
     Per-row dropout seeds and reset rows use the GLOBAL row index, so the
     outputs are bitwise-identical for every rp."""
     def finish(rr, hh, h, s, v, b):
-        probs, chk = _attn_softmax(scalar_ref, s, b, h, t=t, k_len=k_len,
-                                   dropout_p=dropout_p, train=train)
-        o = jax.lax.dot_general(v, probs.astype(v.dtype),
+        operand, chk, col_scale = _attn_softmax(
+            scalar_ref, s, b, h, t=t, k_len=k_len, dropout_p=dropout_p,
+            train=train)
+        o = jax.lax.dot_general(v, operand.astype(v.dtype),
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [dh,T]
+        if col_scale is not None:
+            # deferred normalization: row-scale of probs == col-scale of o
+            o = o * col_scale.reshape(1, t)
         o_ref[rr, hh, :, :] = o.astype(o_ref.dtype)
         if e_ref is not None:
             # the VJP forward checkpoints the NORMALIZED probabilities with
@@ -647,11 +686,23 @@ def _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
     qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale, rr)
     k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh, rr)
     c = e_ref[rr, hh, :, :].astype(jnp.float32)                      # [T,K]
-    if train and dropout_p > 0.0:
+    keep_scale = 1.0 / (1.0 - dropout_p) if train and dropout_p > 0.0 else 1.0
+    if _defer_norm():
+        # checkpoint holds sign-encoded UNNORMALIZED exps: reconstruct the
+        # row normalizer here (|c| = e regardless of the dropout sign, so
+        # the rowsum is the forward's denominator to bf16 rounding); extra
+        # VPU passes, but the backward's VPU is hidden under its matmuls
+        e_abs = jnp.abs(c)
+        denom = jnp.sum(e_abs, axis=1, keepdims=True)
+        inv = 1.0 / jnp.maximum(denom, 1e-30)
+        p_clean = e_abs * inv
+        probs = (jnp.maximum(c, 0.0) * (keep_scale * inv)
+                 if train and dropout_p > 0.0 else p_clean)
+    elif train and dropout_p > 0.0:
         # dropout mask sign-encoded in the checkpoint (see _attn_softmax):
         # NO prng in the backward
         p_clean = jnp.abs(c)
-        probs = jnp.maximum(c, 0.0) * (1.0 / (1.0 - dropout_p))
+        probs = jnp.maximum(c, 0.0) * keep_scale
     else:
         probs = p_clean = c
     do = do_ref[rr, hh, :, :]                                         # [dh,T]

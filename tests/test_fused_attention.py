@@ -245,9 +245,12 @@ def test_clamp_softmax_parity_and_underflow_guard(monkeypatch):
     s_under = s_normal - 500.0  # whole rows below exp underflow
 
     def run(s):
-        probs, chk = _attn_softmax(None, s, 0, 0, t=8, k_len=16,
-                                   dropout_p=0.0, train=False)
-        return np.asarray(probs)
+        operand, chk, col_scale = _attn_softmax(None, s, 0, 0, t=8, k_len=16,
+                                                dropout_p=0.0, train=False)
+        p = np.asarray(operand, dtype=np.float64)
+        if col_scale is not None:  # deferred normalization (COMMU_DEFER_NORM)
+            p = p * np.asarray(col_scale, dtype=np.float64)
+        return p
 
     monkeypatch.setenv("COMMU_SOFTMAX", "max")
     p_max = run(s_normal)
