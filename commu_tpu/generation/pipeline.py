@@ -65,6 +65,11 @@ class MidiGenerationPipeline:
                  model_cfg: Optional[ModelConfig] = None,
                  inference_cfg: Optional[InferenceConfig] = None,
                  sampler: str = "jit", decode_dtype=jnp.float32):
+        # generation compiles are pin-free, so the persistent compile cache
+        # is safe here and ON by default (utils.jax_cache) — a warm process
+        # start skips the 30-95 s per-shape episode compile
+        from ..utils.jax_cache import enable_persistent_cache
+        enable_persistent_cache(pinned_layouts=False)
         self.model_cfg = model_cfg or _model_cfg_for_checkpoint(checkpoint_dir)
         self.inference_cfg = inference_cfg or get_default_cfg_inference()
         self.params = load_params(checkpoint_dir, self.model_cfg)

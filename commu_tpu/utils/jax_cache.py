@@ -46,13 +46,29 @@ location (default ~/.cache/commu_tpu/jax).
 import os
 
 
-def enable_persistent_cache() -> None:
-    """Idempotently point JAX's compilation cache at a local directory when
-    COMMU_COMPILE_CACHE=1.  Must run before the first compilation to have
-    any effect.  Never raises: an unwritable directory or an old jax just
-    leaves caching off.
+def enable_persistent_cache(pinned_layouts: bool = True) -> None:
+    """Idempotently point JAX's compilation cache at a local directory.
+    Must run before the first compilation to have any effect.  Never
+    raises: an unwritable directory or an old jax just leaves caching off.
+
+    ``pinned_layouts`` declares whether the calling entry point compiles
+    programs with result-layout pins.  The PJRT warm-load bug (module
+    docstring, failure mode 2) corrupts ONLY pinned results, so:
+
+    - pinned entry points (the train/eval steps: the donated ring buffer's
+      layout is pinned at the jit boundary) cache only on explicit
+      COMMU_COMPILE_CACHE=1;
+    - pin-free entry points (the whole generation stack: episode loop,
+      prefill, decode — plain jits, default layouts everywhere) cache BY
+      DEFAULT, which turns the 30-95 s per-shape episode compile into a
+      warm load and makes cold-start serving-grade (the reference's
+      torch.load-and-go equivalent).  COMMU_COMPILE_CACHE=0 forces it off.
+      Cold-vs-warm token-identity is regression-gated by
+      scripts/verify_cache.py (generation phase).
     """
-    if os.environ.get("COMMU_COMPILE_CACHE") != "1":
+    env = os.environ.get("COMMU_COMPILE_CACHE")
+    on = env == "1" or (env != "0" and not pinned_layouts)
+    if not on:
         return
     cache_dir = os.environ.get(
         "COMMU_COMPILE_CACHE_DIR",

@@ -72,7 +72,7 @@ def main():
 
     import os
     from commu_tpu.utils.jax_cache import enable_persistent_cache
-    enable_persistent_cache()
+    enable_persistent_cache(pinned_layouts=False)  # generation is pin-free
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

@@ -44,7 +44,7 @@ def run_suite(batches=(1, 8, 32), rounds=5, gen_length=1024,
               dtype_name="bfloat16", seed=0):
     """Returns a JSON-able dict of per-batch latency/throughput stats."""
     from commu_tpu.utils.jax_cache import enable_persistent_cache
-    enable_persistent_cache()
+    enable_persistent_cache(pinned_layouts=False)  # generation is pin-free
     import jax
     import jax.numpy as jnp
     import numpy as np
