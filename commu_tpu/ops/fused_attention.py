@@ -102,11 +102,14 @@ def _vmem_limit() -> int:
 
     The default Mosaic limit is 16 MB; the memory-fused backward sits right
     at it (16.17 MB with the blocked kv operands) and hp=10 / COMMU_FWD_RP=2
-    need more.  v5e cores have 128 MB of physical VMEM — 40 MB is the
-    measured-safe default; COMMU_VMEM_MB overrides (read at trace time so
-    perf probes can vary it per build; e.g. COMMU_FWD_RP=4 wants ~80)."""
+    need more.  v5e cores have 128 MB of physical VMEM — the 100 MB default
+    admits the two-row backward (COMMU_BWD_RP=2, ~1 ms/step faster than the
+    round-3 40 MB / one-row defaults in interleaved probes; the cap is
+    permissive, not a reservation).  COMMU_VMEM_MB overrides (read at trace
+    time so perf probes can vary it per build; older TPUs with 16 MB VMEM
+    need it lowered along with the rp/hp knobs)."""
     import os
-    return int(os.environ.get("COMMU_VMEM_MB", "40")) * 1024 * 1024
+    return int(os.environ.get("COMMU_VMEM_MB", "100")) * 1024 * 1024
 
 def _fpad(d_model: int) -> int:
     """Frequency-lane padding: the d_model/2 frequencies are padded to a
@@ -268,7 +271,11 @@ def random_keep(shape, dropout_p):
     t16 = jnp.uint32(min(0xFFFF, round(dropout_p * 65536.0)))
     r, c = shape
     # concatenate the u32 HALF-VALUES, not the boolean comparisons — Mosaic
-    # cannot concatenate i1 vregs ("Invalid vector register cast")
+    # cannot concatenate i1 vregs ("Invalid vector register cast").  (The
+    # sublane-split variant — halves stacked on axis 0 — was probed in
+    # round 4 on the theory that this lane concat's mid-vreg seam at
+    # c/2 = 576 costs a shuffle; it measured the same to slightly worse,
+    # so the original order stands.)
     if c % 2 == 0 and (c // 2) % 128 == 0:
         bits = _prng_random_bits((r, c // 2))
         halves = jnp.concatenate([bits & jnp.uint32(0xFFFF),
@@ -1013,15 +1020,19 @@ def _fwd_rp(batch: int) -> int:
 
 def _bwd_rp(batch: int) -> int:
     """Batch rows per backward program in the memory-fused backward
-    (COMMU_BWD_RP, default 1).
+    (COMMU_BWD_RP, default 2).
 
     Same cross-row MXU/VPU interleave rationale as ``_fwd_rp``; the
     backward's per-program working set is ~2x the forward's (checkpoint +
     do + the dW slab matmuls' operands), so rp=2 roughly doubles a ~16 MB
-    set — raise COMMU_VMEM_MB when probing.  The per-head-group dW
-    accumulator blocks do NOT scale with rp (they are grid-resident)."""
+    set and needs the raised VMEM cap (``_vmem_limit``).  Round-4 probes at
+    the training shape: rp=2 @ 100 MB is ~1 ms/step faster than rp=1 @
+    40 MB (94.1 vs 95.2 median); rp=4 regresses (97.5).  The per-head-group
+    dW accumulator blocks do NOT scale with rp (they are grid-resident),
+    and any rp produces bit-equal dW gradients (global-batch-order f32
+    accumulation, see _bwd_kernel_mem)."""
     import os
-    rp = int(os.environ.get("COMMU_BWD_RP", "1"))
+    rp = int(os.environ.get("COMMU_BWD_RP", "2"))
     while rp > 1 and batch % rp:
         rp -= 1
     return max(rp, 1)

@@ -38,6 +38,14 @@ def build_step():
     from commu_tpu.vocab.event_tokens import VOCAB_SIZE
 
     cfg = get_default_cfg_training()
+    # COMMU_PROBE_DROPOUT overrides both dropout rates (e.g. 0 isolates the
+    # in-kernel PRNG/mask cost from the rest of the step)
+    pd = os.environ.get("COMMU_PROBE_DROPOUT")
+    if pd is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, dropout=float(pd), attention_dropout=float(pd)))
     tcfg = cfg.train
     batch, tgt = tcfg.batch_size, tcfg.tgt_length
     physical = resolve_physical_chunks(cfg)
