@@ -34,16 +34,37 @@ CPU processes never cache regardless: XLA:CPU AOT entries embed machine
 features that may not match the loading host (XLA warns about possible
 SIGILL), and CPU compiles are cheap anyway.
 
-Serving-grade cold start therefore comes from PROCESS REUSE, not the disk
-cache: generation compiles once per (batch, capacity) shape per process and
-episodes take ~0.2 s after that — keep the pipeline object alive across
-requests (see generate.py --num_generate batching and the pipeline API).
+Policy summary (see enable_persistent_cache):
 
-Set COMMU_COMPILE_CACHE=1 to opt in anyway (e.g. on a runtime whose PJRT
-deserialize round-trips layouts); COMMU_COMPILE_CACHE_DIR overrides the
-location (default ~/.cache/commu_tpu/jax).
+- PIN-FREE entry points (the generation stack) cache BY DEFAULT on local
+  runtimes — a warm process start skips the per-shape episode compile —
+  EXCEPT through the axon tunnel, where a warm load measured 105.7 s
+  against a 9.2 s cold compile (VERIFY_cache_r04.json: deserialize/upload
+  through the relay costs more than compiling) and the default stays off.
+- PINNED entry points (train/eval) cache only on explicit
+  COMMU_COMPILE_CACHE=1, because of failure mode 2 above.
+- On tunneled runtimes serving-grade cold start comes from PROCESS REUSE:
+  generation compiles once per (batch, capacity) shape per process and
+  episodes take ~0.2 s after that — keep the pipeline object alive across
+  requests (see generate.py --num_generate batching and the pipeline API).
+
+COMMU_COMPILE_CACHE=1 forces the cache on everywhere; =0 forces it off;
+COMMU_COMPILE_CACHE_DIR overrides the location
+(default ~/.cache/commu_tpu/jax).
 """
 import os
+
+
+def _tunneled_runtime() -> bool:
+    """True when the device is reached through a PJRT tunnel (the axon
+    relay) rather than a local runtime — there, executable
+    deserialization/upload is slower than compiling, so cache-by-default
+    is counterproductive.  Never raises."""
+    try:
+        import jax
+        return "axon" in jax.devices()[0].client.platform_version.lower()
+    except Exception:
+        return False
 
 
 def enable_persistent_cache(pinned_layouts: bool = True) -> None:
@@ -69,6 +90,13 @@ def enable_persistent_cache(pinned_layouts: bool = True) -> None:
     env = os.environ.get("COMMU_COMPILE_CACHE")
     on = env == "1" or (env != "0" and not pinned_layouts)
     if not on:
+        return
+    if env != "1" and _tunneled_runtime():
+        # measured on the axon-tunneled runtime (VERIFY_cache_r04.json):
+        # a warm generation load took 105.7 s against a 9.2 s cold compile —
+        # deserialize/upload through the tunnel costs more than compiling.
+        # Default-on would hurt there; explicit COMMU_COMPILE_CACHE=1 still
+        # wins on argument.
         return
     cache_dir = os.environ.get(
         "COMMU_COMPILE_CACHE_DIR",
