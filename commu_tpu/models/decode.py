@@ -207,9 +207,10 @@ def commit(cache: KVCache, k_self: jnp.ndarray, v_self: jnp.ndarray,
     (BENCH_generation.json).  A per-row scatter was measured slower than
     both (scatters serialize on TPU).
     """
+    import os
     capacity = cache.k.shape[4]
     new_len = cache.length + advance.astype(jnp.int32)
-    if capacity % 128 == 0:
+    if capacity % 128 == 0 and os.environ.get("COMMU_CACHE_APPEND", "1") != "0":
         new_k, new_v = cache_append(cache.k, cache.v, k_self, v_self,
                                     cache.length, advance)
         return KVCache(k=new_k, v=new_v, length=new_len)
