@@ -348,10 +348,35 @@ def _validate(inp, seq: List[int], rem: int) -> bool:
     return validate_generated_sequence(seq)
 
 
+def cached_episode(model, params, cfg: ModelConfig, icfg: InferenceConfig,
+                   inputs: List, cache: Optional[dict] = None):
+    """``build_episode`` with an optional cross-request cache (serving).
+
+    The jit trace cache is per-closure, so a fresh ``build_episode`` per
+    request recompiles the whole episode; a long-lived process (the
+    ``MidiGenerationPipeline`` or ``generate.py --serve``) passes a dict
+    here and pays the compile once per (batch width, temperature, top_k,
+    chord-capacity bucket).  The chord capacity is bucketed up to a
+    multiple of 8 so prompts with slightly different chord counts share an
+    executable (padding rows beyond the real schedule is free — the
+    schedule cursor never reaches them)."""
+    n = max(len(i.chord_token_components["chord_token"]) for i in inputs)
+    chord_cap = max(8, -(-n // 8) * 8)
+    if cache is None:
+        return build_episode(model, params, cfg, icfg, inputs,
+                             chord_cap=chord_cap)
+    key = (len(inputs), inputs[0].temperature, inputs[0].top_k, chord_cap)
+    if key not in cache:
+        cache[key] = build_episode(model, params, cfg, icfg, inputs,
+                                   chord_cap=chord_cap)
+    return cache[key]
+
+
 def execute(model, params, cfg: ModelConfig, icfg: InferenceConfig,
             input_data, encoded_meta: List[int], seed: int = 0,
             validate: bool = True,
-            max_rounds: Optional[int] = 20) -> List[List[int]]:
+            max_rounds: Optional[int] = 20,
+            episode_cache: Optional[dict] = None) -> List[List[int]]:
     """Generate ``num_generate`` valid sequences for one prompt, batching all
     attempts per round (replaces the reference's one-at-a-time retry loop,
     midi_inferrer.py:338-354).
@@ -363,7 +388,8 @@ def execute(model, params, cfg: ModelConfig, icfg: InferenceConfig,
     key = jax.random.PRNGKey(seed)
     want = input_data.num_generate
     batch = [input_data] * want  # fixed width: every round reuses one compile
-    episode, chord_cap = build_episode(model, params, cfg, icfg, batch)
+    episode, chord_cap = cached_episode(model, params, cfg, icfg, batch,
+                                        episode_cache)
     sequences: List[List[int]] = []
     rounds = 0
     while len(sequences) < want:
@@ -389,13 +415,15 @@ def execute(model, params, cfg: ModelConfig, icfg: InferenceConfig,
 def execute_batch(model, params, cfg: ModelConfig, icfg: InferenceConfig,
                   inputs: List, encoded_metas: List[List[int]],
                   seed: int = 0, max_rounds: Optional[int] = 20,
-                  validate: bool = True):
+                  validate: bool = True,
+                  episode_cache: Optional[dict] = None):
     """Multi-prompt batched generation: one sequence per input row, retrying
     only the rows that failed validation.  ``max_rounds=None`` retries
     forever (reference behavior, midi_inferrer.py:342-353)."""
     key = jax.random.PRNGKey(seed)
     G = len(inputs)
-    episode, chord_cap = build_episode(model, params, cfg, icfg, inputs)
+    episode, chord_cap = cached_episode(model, params, cfg, icfg, inputs,
+                                        episode_cache)
     results: List[Optional[List[int]]] = [None] * G
     pending = list(range(G))
     rounds = 0

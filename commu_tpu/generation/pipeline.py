@@ -81,6 +81,10 @@ class MidiGenerationPipeline:
         self.model = TransformerXL(VOCAB_SIZE, self.model_cfg,
                                    dtype=decode_dtype)
         self.sampler = sampler
+        # compiled-episode reuse across run() calls (the serving path):
+        # keyed by (batch width, temperature, top_k, chord-cap bucket) —
+        # see jit_sampler.cached_episode
+        self.episode_cache: dict = {}
 
     def encode_input_meta(self, input_data: GenerationInput) -> List[int]:
         return encode_meta(input_data.midi_meta())
@@ -99,7 +103,8 @@ class MidiGenerationPipeline:
         from . import jit_sampler
         return jit_sampler.execute(
             self.model, self.params, self.model_cfg, self.inference_cfg,
-            input_data, encoded_meta, seed, validate=validate)
+            input_data, encoded_meta, seed, validate=validate,
+            episode_cache=self.episode_cache)
 
     def run(self, input_data: GenerationInput, seed: int = 0,
             validate: bool = True) -> Path:

@@ -59,6 +59,17 @@ def parse_args():
                    help="extension: JSON file with a LIST of request objects "
                         "(same keys as the CLI flags); all prompts are "
                         "generated in ONE batched device episode")
+    p.add_argument("--serve", action="store_true",
+                   help="extension: serving loop — read one JSON request "
+                        "object per stdin line (same keys as the CLI flags, "
+                        "plus optional request_id/seed), write one JSON "
+                        "response line per request to stdout. The model, "
+                        "params and compiled episodes stay resident, so "
+                        "after the first request per batch shape each "
+                        "request costs only device time (the process-reuse "
+                        "serving mode documented in commu_tpu/utils/"
+                        "jax_cache.py). CLI meta flags act as defaults for "
+                        "fields a request omits.")
     return p.parse_args()
 
 
@@ -93,6 +104,58 @@ def main():
         args.checkpoint_dir, inference_cfg=icfg, sampler=args.sampler,
         decode_dtype=jnp.bfloat16 if args.decode_dtype == "bfloat16"
         else jnp.float32)
+
+    if args.serve:
+        import json
+        import sys
+        import time
+        from commu_tpu.generation import postprocess
+
+        defaults = {k: getattr(args, k) for k in META_KEYS
+                    if getattr(args, k) is not None}
+        if args.chord_progression:
+            defaults["chord_progression"] = args.chord_progression
+        counters: dict = {}  # per-output-stem file numbering (no overwrites)
+        print(json.dumps({"status": "ready",
+                          "checkpoint": args.checkpoint_dir}), flush=True)
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            req_id = None
+            try:
+                req = json.loads(line)
+                req_id = req.pop("request_id", None)
+                seed = int(req.pop("seed", args.seed))
+                record = {
+                    "output_dir": args.output_dir,
+                    "num_generate": args.num_generate,
+                    "top_k": args.top_k, "temperature": args.temperature,
+                    **defaults, **req,
+                }
+                input_data = GenerationInput.from_dict(record)
+                t0 = time.perf_counter()
+                sequences = pipeline.generate_sequences(
+                    input_data, seed=seed, validate=not args.lenient)
+                files = []
+                stem = (input_data.output_dir, input_data.track_role,
+                        input_data.inst, input_data.pitch_range)
+                base = counters.get(stem, 0)
+                for idx, seq in enumerate(sequences):
+                    midi = postprocess.decode_event_sequence(seq)
+                    path = postprocess.output_file_path(input_data, base + idx)
+                    midi.dump(str(path))
+                    files.append(str(path))
+                counters[stem] = base + len(sequences)
+                print(json.dumps({
+                    "request_id": req_id, "ok": True, "files": files,
+                    "wall_ms": round((time.perf_counter() - t0) * 1e3, 1),
+                }), flush=True)
+            except Exception as exc:  # noqa: BLE001 - keep serving
+                print(json.dumps({"request_id": req_id, "ok": False,
+                                  "error": f"{type(exc).__name__}: {exc}"}),
+                      flush=True)
+        return
 
     if args.batch_json:
         import json
