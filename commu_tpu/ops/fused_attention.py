@@ -344,8 +344,51 @@ def _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale, rr=0):
     return qs + rwbs_ref[h], qs + rrbs_ref[h]
 
 
+def _bd_int8() -> bool:
+    """COMMU_BD_INT8=1 (opt-in): compute the forward BD term on the MXU's
+    int8 path.  The rank-512 BD matmul is 36 of the forward's 58 MXU passes
+    and int8 runs at 2x the bf16 rate on v5e (394 vs 197 TOPS), so halving
+    its depth is worth ~1 ms/layer of forward floor.  Quantization: psi
+    (entries in [-1, 1]) is quantized once per layer-step outside the kernel
+    at a fixed 1/127 scale and passed as an EXTRA forward-only operand; phi
+    is quantized in-kernel with a per-row absmax scale; the int32
+    accumulator is exact, so the only error is the two operand roundings
+    (~1% RMS on the BD component vs ~0.1% for bf16).  The BACKWARD is
+    untouched — it restores the checkpoint and differentiates through the
+    bf16 psi, so gradients see the same math as the default path modulo the
+    forward's slightly different probabilities.  OFF by default: the
+    repository's parity tolerances are calibrated for bf16; enable for
+    throughput-first training after checking the convergence evidence
+    (see BASELINE.md)."""
+    import os
+    return os.environ.get("COMMU_BD_INT8", "0") == "1"
+
+
+def quantize_psi_int8(psi: jnp.ndarray) -> jnp.ndarray:
+    """psi [512, K] (entries in [-1, 1]) -> int8 at a fixed 1/127 scale."""
+    return jnp.clip(jnp.round(psi.astype(jnp.float32) * 127.0),
+                    -127, 127).astype(jnp.int8)
+
+
+def _bd_matmul(phi_f32, psi_ref, psiq_ref, out_dtype):
+    """BD = phi @ psi, on the int8 MXU path when ``psiq_ref`` is present
+    (see _bd_int8), else bf16.  Returns f32 [T, K]."""
+    if psiq_ref is not None:
+        amax = jnp.max(jnp.abs(phi_f32), axis=1, keepdims=True)      # [T,1]
+        qscale = 127.0 / jnp.maximum(amax, 1e-20)
+        phi_q = jnp.round(phi_f32 * qscale).astype(jnp.int8)
+        bd_i = jax.lax.dot_general(phi_q, psiq_ref[:, :],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        return bd_i.astype(jnp.float32) * (amax * (1.0 / (127.0 * 127.0)))
+    phi = phi_f32.astype(out_dtype)
+    return jax.lax.dot_general(phi, psi_ref[:, :], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
-                 psi_ref, mask_ref, b, h, hh, k, v, scale, rr=0):
+                 psi_ref, mask_ref, b, h, hh, k, v, scale, rr=0,
+                 psiq_ref=None):
     """Score phase (MXU): masked scores s f32 [T, K] plus this head's v.
 
     The content/position biases AND the 1/sqrt(dh) scale are folded into the
@@ -356,15 +399,13 @@ def _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
     """
     qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale, rr)
     w_r = wr_ref[h]                                  # [dh, 512] (resident)
-    psi = psi_ref[:, :]                              # [512, K]  (resident)
 
     ac = jax.lax.dot_general(qw, k, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)      # [T,K]
     u = jax.lax.dot_general(qr, w_r, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)       # [T,512]
-    phi = _trig_combine(u, trig_ref[:, :]).astype(qr.dtype)
-    bd = jax.lax.dot_general(phi, psi, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)      # [T,K]
+    phi_f32 = _trig_combine(u, trig_ref[:, :])
+    bd = _bd_matmul(phi_f32, psi_ref, psiq_ref, qr.dtype)             # [T,K]
 
     reset_b = scalar_ref[1 + b]
     s = ac + bd + mask_ref[reset_b].astype(jnp.float32)
@@ -460,7 +501,8 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
 
 def _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
               psi_ref, mask_ref, o_ref, e_ref, head_kv, b0, hg,
-              *, t, k_len, dropout_p, train, hp, scale, rp=1):
+              *, t, k_len, dropout_p, train, hp, scale, rp=1,
+              psiq_ref=None):
     """Shared forward body: software-pipelined loop over (row, head) units
     with ``head_kv(rr, hh) -> (k, v)`` (either DMA'd pre-projected halves
     or the window-only case).  With COMMU_FWD_RP > 1 the program covers
@@ -501,7 +543,7 @@ def _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
             k, v = head_kv(rr, hh)
             s, v = _attn_scores(scalar_ref, q_ref, rwbs_ref, rrbs_ref,
                                 wr_ref, trig_ref, psi_ref, mask_ref, b, h,
-                                hh, k, v, scale, rr)
+                                hh, k, v, scale, rr, psiq_ref=psiq_ref)
             pend.append((rr, hh, h, s, v, b))
             if len(pend) > depth:
                 finish(*pend.pop(0))
@@ -510,14 +552,20 @@ def _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
 
 
 def _fwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
-                vm_ref, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, o_ref,
-                e_ref=None, *, t, k_len, dropout_p, train, hp, scale, rp=1):
+                vm_ref, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, *rest,
+                t, k_len, dropout_p, train, hp, scale, rp=1):
+    # rest = ([psiq (int8 BD operand, _bd_int8),] o_ref[, e_ref])
+    psiq_ref = None
+    if _bd_int8():
+        psiq_ref, rest = rest[0], rest[1:]
+    o_ref = rest[0]
+    e_ref = rest[1] if len(rest) > 1 else None
     b0, hg = pl.program_id(0), pl.program_id(1)
     _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
               psi_ref, mask_ref, o_ref, e_ref,
               lambda rr, hh: _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh, rr),
               b0, hg, t=t, k_len=k_len, dropout_p=dropout_p, train=train,
-              hp=hp, scale=scale, rp=rp)
+              hp=hp, scale=scale, rp=rp, psiq_ref=psiq_ref)
 
 
 def proj_in_fwd() -> bool:
@@ -965,12 +1013,16 @@ def _fused_call(kernel_fn, outs, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win,
     # "e" blocks are [T, K] score-shaped (the checkpointed normalized probs)
     e_blk = pl.BlockSpec((rp, hp, t, m_cap + t), lambda b, h, s: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
-    extra_spec = {"t": bh_t, "e": e_blk}
+    def extra_spec(kind, arr):
+        if kind == "r":  # whole-array resident extra (e.g. the int8 psi)
+            return resident(arr.shape)
+        return {"t": bh_t, "e": e_blk}[kind]
+
     in_specs = [bh_t, resident(rwbs.shape), resident(rrbs.shape)] + \
         kv_specs + \
         [resident(w_r.shape), resident(trig_a.shape), resident(psi.shape),
          resident(mask.shape)] + \
-        [extra_spec[kind] for kind, _ in extra]
+        [extra_spec(kind, arr) for kind, arr in extra]
     out_specs = []
     out_shape = []
     for kind, dtype in outs:
@@ -1047,9 +1099,13 @@ def _fused_fwd(q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, w_r, trig_a, psi,
         _fwd_kernel, t=t, k_len=m_cap + t, dropout_p=dropout_p, train=train,
         hp=heads_per_program(q.shape[1]), scale=scale, rp=rp),
         k_mem is not None)
+    # int8 BD (opt-in): the quantized psi rides as a forward-only resident
+    # extra; the VJP residuals keep the bf16 psi for the backward
+    extra = (("r", quantize_psi_int8(psi)),) if _bd_int8() else ()
     outs = [("t", q.dtype)] + ([("e", q.dtype)] if save_e else [])
     out = _fused_call(kernel, outs, q, rwbs, rrbs, k_mem, k_win,
-                      v_mem, v_win, w_r, trig_a, psi, mask, scalars, rp=rp)
+                      v_mem, v_win, w_r, trig_a, psi, mask, scalars,
+                      extra=extra, rp=rp)
     if not save_e:
         return out, None
     out, e = out

@@ -265,3 +265,35 @@ def test_clamp_softmax_parity_and_underflow_guard(monkeypatch):
     # bits the -500 shift itself costs the scores)
     monkeypatch.setenv("COMMU_SOFTMAX", "max")
     np.testing.assert_allclose(run(s_under), p_max, rtol=5e-3, atol=1e-6)
+
+
+def test_bd_int8_parity(monkeypatch):
+    """COMMU_BD_INT8 (opt-in): the int8-BD forward must track the default
+    path within the quantization error budget — two int8 operand roundings
+    on a rank-512 accumulation give ~1% RMS on the BD component, so logits
+    agree to a few percent (vs 2e-4 on the bf16 path), and the model must
+    still be exactly reproducible run-to-run."""
+    xla_model, pal_model, params = _setup()
+    rng = np.random.RandomState(3)
+    mem_p = init_memory(N_LAYER, 3, M, D_MODEL)
+    mem_q = init_memory(N_LAYER, 3, M, D_MODEL)
+    tokens = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    reset = jnp.asarray([False] * 3)
+
+    lp, mem_p = pal_model.apply({"params": params}, tokens, mem_p, reset)
+    monkeypatch.setenv("COMMU_BD_INT8", "1")
+    lq, mem_q = pal_model.apply({"params": params}, tokens, mem_q, reset)
+    lq2, _ = pal_model.apply({"params": params}, tokens,
+                             init_memory(N_LAYER, 3, M, D_MODEL), reset)
+
+    lp, lq = np.asarray(lp, np.float64), np.asarray(lq, np.float64)
+    # deterministic: identical inputs -> identical int8 outputs
+    np.testing.assert_array_equal(np.asarray(lq2), np.asarray(lq))
+    # close to the exact path in absolute logit terms
+    err = np.abs(lq - lp)
+    scale = np.abs(lp).mean()
+    assert err.max() < 0.35 * scale and err.mean() < 0.02 * scale, \
+        (err.max(), err.mean(), scale)
+    # and far more correlated than any wrong-math failure mode
+    corr = np.corrcoef(lp.ravel(), lq.ravel())[0, 1]
+    assert corr > 0.999, corr

@@ -248,3 +248,44 @@ def test_sampler_distribution_parity(banned_ids, top_k):
                  / np.maximum(n_draws * pooled, 1e-12)).sum()
     dof = int(support.sum()) - 1
     assert stat < dof + 8.0 * np.sqrt(2.0 * dof), (stat, dof, chi_host, chi_jit)
+
+
+def test_episode_cache_reuse(tmp_path):
+    """Serving path: repeated execute() calls through one episode_cache must
+    compile once per (width, temp, top_k, chord-cap bucket) — and prompts
+    whose chord counts land in the same bucket share the executable."""
+    model = TransformerXL(vocab_size=VOCAB_SIZE, cfg=CFG)
+    from commu_tpu.models.transformer_xl import init_memory
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4), dtype=jnp.int32),
+                        init_memory(N_LAYER, 1, 4, D_MODEL))["params"]
+    from commu_tpu.generation import jit_sampler
+
+    cache = {}
+    inp4 = _input_data(tmp_path, CHORDS_ONE_PER_BAR)          # 4 chords
+    meta = encode_meta(inp4.midi_meta())
+    jit_sampler.execute(model, params, CFG, ICFG, inp4, list(meta),
+                        seed=0, validate=False, episode_cache=cache)
+    assert len(cache) == 1
+    ep_first = cache[next(iter(cache))]
+
+    # same prompt again: no new entry, identical compiled episode object
+    jit_sampler.execute(model, params, CFG, ICFG, inp4, list(meta),
+                        seed=1, validate=False, episode_cache=cache)
+    assert len(cache) == 1
+    assert cache[next(iter(cache))] is ep_first
+
+    # different chord count in the same bucket of 8: still shared
+    inp7 = _input_data(tmp_path, CHORDS_MULTI)
+    n7 = len(inp7.chord_token_components["chord_token"])
+    assert n7 != 4 and -(-n7 // 8) * 8 == 8  # same bucket as 4
+    meta7 = encode_meta(inp7.midi_meta())
+    jit_sampler.execute(model, params, CFG, ICFG, inp7, list(meta7),
+                        seed=0, validate=False, episode_cache=cache)
+    assert len(cache) == 1
+
+    # different sampling params: a new entry
+    inp_t = dataclasses.replace(inp4, temperature=0.95)
+    jit_sampler.execute(model, params, CFG, ICFG, inp_t, list(meta),
+                        seed=0, validate=False, episode_cache=cache)
+    assert len(cache) == 2
