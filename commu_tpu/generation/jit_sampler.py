@@ -99,7 +99,7 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
     rel = precompute_rel(params, cfg, capacity)
     gen_len = icfg.generation_length
 
-    def body(args):
+    def body(args, seg_capacity=capacity):
         state, chord_tok, chord_pos, inter_flag, length_fit, row_cap = args
         G = state.seq.shape[0]
         active = ~(state.done | state.failed)
@@ -120,6 +120,11 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
         new_logits_full, k_self, v_self = decode_step(params, cfg, rel, last,
                                                       state.cache)
         commit_mask = active & (has_forced | (~state.no_seq & ~state.first_loop))
+        # a commit against a full cache silently drops the newest K/V while
+        # length keeps counting — mark the row failed instead (validation
+        # then rejects it; the reference's sliding window never truncates
+        # the NEWEST context, so a truncated row must not pass as valid)
+        overflow = commit_mask & (state.cache.length >= seg_capacity)
         cache = commit(state.cache, k_self, v_self, commit_mask)
         new_logits = new_logits_full[:, 1:]
         logits = jnp.where((active & ~state.no_seq)[:, None], new_logits,
@@ -204,7 +209,7 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
         # benchmarking hook: rows terminate once they reach their cap
         # (row_cap == seq_buf in production, so this never fires there)
         done = done | (seq_len >= row_cap)
-        failed = state.failed | fail_now
+        failed = state.failed | fail_now | overflow
 
         new_state = SamplerState(
             seq=seq, seq_len=seq_len, cache=cache, logits=logits,
@@ -218,6 +223,29 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
     def cond(args):
         state = args[0]
         return (state.it < gen_len) & ~jnp.all(state.done | state.failed)
+
+    def _segment_caps() -> List[int]:
+        """Growing static cache-view capacities for the decode loop.
+
+        Every decode step reads the FULL static cache (the masked score/
+        gather matmuls are dense), so at production capacity (4096 slots)
+        a ~700-token episode pays ~6x the K/V bandwidth its live context
+        needs — the dominant cost of wide-batch episodes (BASELINE.md
+        wide-batch analysis).  Running the loop over doubling block-aligned
+        views (256, 512, ... capacity) makes each token's cache traffic
+        proportional to its live context; the loop state (incl. the PRNG
+        stream) is untouched, so tokens are bit-identical to the
+        single-segment loop, and the view slice-in/out copies cost ~1 ms
+        per boundary.  COMMU_SEG_DECODE=0 restores the single segment."""
+        import os
+        if os.environ.get("COMMU_SEG_DECODE", "1") == "0" or capacity % 128:
+            return [capacity]
+        caps, c = [], 256
+        while c < capacity:
+            caps.append(c)
+            c *= 2
+        caps.append(capacity)
+        return caps
 
     @jax.jit
     def episode(primer, encoded_meta_last, chord_tok, chord_pos, inter_flag,
@@ -252,11 +280,35 @@ def make_episode_fn(model, params, cfg: ModelConfig, icfg: InferenceConfig,
             failed=jnp.zeros((G,), dtype=bool),
             it=jnp.zeros((), dtype=jnp.int32),
             key=key)
-        out = jax.lax.while_loop(
-            cond, body,
-            (state, chord_tok, chord_pos, inter_flag, length_fit,
-             row_cap.astype(jnp.int32)))
-        return out[0]
+        import dataclasses as _dc
+        import functools as _ft
+
+        extras = (chord_tok, chord_pos, inter_flag, length_fit,
+                  row_cap.astype(jnp.int32))
+        seg_caps = _segment_caps()
+        for c in seg_caps:
+            full = state.cache
+            sub = state if c == capacity else _dc.replace(
+                state, cache=KVCache(k=full.k[..., :c], v=full.v[..., :c],
+                                     length=full.length))
+            if c == capacity:
+                # last segment: no room guard — a row at capacity trips the
+                # in-body overflow->failed flag instead of looping forever
+                seg_cond = cond
+            else:
+                def seg_cond(args, _c=c):
+                    return cond(args) & (jnp.max(args[0].cache.length) < _c)
+            out = jax.lax.while_loop(
+                seg_cond, _ft.partial(body, seg_capacity=c), (sub,) + extras)
+            state = out[0]
+            if c != capacity:
+                sub_cache = state.cache
+                state = _dc.replace(
+                    state, cache=KVCache(
+                        k=full.k.at[..., :c].set(sub_cache.k),
+                        v=full.v.at[..., :c].set(sub_cache.v),
+                        length=sub_cache.length))
+        return state
 
     return episode
 
@@ -296,8 +348,18 @@ def build_episode(model, params, cfg: ModelConfig, icfg: InferenceConfig,
         capacity = min(icfg.memory_length, icfg.generation_length + 16)
         # block-align so commit() hits the single-block cache_append kernel
         # instead of the full-buffer select (the extra masked slots only pad
-        # the [G, H, M] score arrays)
-        capacity = -(-capacity // 128) * 128
+        # the [G, H, M] score arrays).  Round UP — but never past
+        # memory_length: the reference attends to at most memory_length
+        # context tokens (model.py:549-560), so when memory_length is the
+        # binding term align DOWN instead (attending wider than the
+        # reference in the overflow regime would be a silent semantic
+        # deviation).  Overflow against the clamped capacity is surfaced
+        # as a failed-row flag in the episode body, not silently dropped.
+        up = -(-capacity // 128) * 128
+        if up > icfg.memory_length and icfg.memory_length >= 128:
+            capacity = (icfg.memory_length // 128) * 128
+        else:
+            capacity = up
     seq_buf = icfg.generation_length + 16
     chord_cap = chord_cap or max(
         8, max(len(i.chord_token_components["chord_token"]) for i in inputs))
@@ -360,6 +422,12 @@ def cached_episode(model, params, cfg: ModelConfig, icfg: InferenceConfig,
     multiple of 8 so prompts with slightly different chord counts share an
     executable (padding rows beyond the real schedule is free — the
     schedule cursor never reaches them)."""
+    # the cache key carries row 0's sampling params, so heterogeneity must
+    # fail BEFORE the lookup — inside build_episode it would only fire on a
+    # cache miss, and a warm hit would silently sample every row with row
+    # 0's temperature/top_k
+    assert len({(i.temperature, i.top_k) for i in inputs}) == 1, \
+        "all rows of a batch must share temperature/top_k"
     n = max(len(i.chord_token_components["chord_token"]) for i in inputs)
     chord_cap = max(8, -(-n // 8) * 8)
     if cache is None:

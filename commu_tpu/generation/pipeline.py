@@ -64,12 +64,18 @@ class MidiGenerationPipeline:
     def __init__(self, checkpoint_dir: str,
                  model_cfg: Optional[ModelConfig] = None,
                  inference_cfg: Optional[InferenceConfig] = None,
-                 sampler: str = "jit", decode_dtype=jnp.float32):
-        # generation compiles are pin-free, so the persistent compile cache
-        # is safe here and ON by default (utils.jax_cache) — a warm process
-        # start skips the 30-95 s per-shape episode compile
-        from ..utils.jax_cache import enable_persistent_cache
-        enable_persistent_cache(pinned_layouts=False)
+                 sampler: str = "jit", decode_dtype=jnp.float32,
+                 enable_compile_cache: bool = False):
+        # The persistent compile cache is process-GLOBAL, and warm-loading
+        # layout-PINNED entries (train/eval compiles) can misbehave (see
+        # utils.jax_cache).  A library constructor must not flip process
+        # state that other compiles in the same process never opted into —
+        # generation ENTRY POINTS (generate.py, scripts/bench_generation.py)
+        # enable it themselves; embedders that own the whole process can
+        # pass enable_compile_cache=True.
+        if enable_compile_cache:
+            from ..utils.jax_cache import enable_persistent_cache
+            enable_persistent_cache(pinned_layouts=False)
         self.model_cfg = model_cfg or _model_cfg_for_checkpoint(checkpoint_dir)
         self.inference_cfg = inference_cfg or get_default_cfg_inference()
         self.params = load_params(checkpoint_dir, self.model_cfg)

@@ -643,6 +643,13 @@ def _fused_fwd_proj(q, rwbs, rrbs, mem, layer_idx, wk3, wv3, k_win, v_win,
     """pallas_call assembly for the projection-fused forward.  Returns
     (out, k_mem, v_mem[, e]) with k_mem/v_mem in the same blocked
     [B, R, H, dh, Tb] layout ``project_mem_kv`` produces."""
+    if _bd_int8():
+        # the int8-psi extra operand is only plumbed through _fused_fwd;
+        # silently measuring bf16 BD here would misattribute probe results
+        raise NotImplementedError(
+            "COMMU_BD_INT8=1 is not plumbed through the COMMU_PROJ_IN_FWD=1 "
+            "path (the quantized-psi operand only exists in _fused_fwd); "
+            "unset one of the two flags")
     batch, heads, dh, t = q.shape
     l1, r_blocks, _, d_model, t_blk = mem.shape
     m_cap = r_blocks * t_blk

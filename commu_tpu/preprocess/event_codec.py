@@ -11,6 +11,7 @@ to the reference encoder on the same MIDI bytes.
 from __future__ import annotations
 
 import math
+import sys
 from pathlib import Path
 from typing import Dict, List, Sequence, Union
 
@@ -96,7 +97,7 @@ def _chord_scaffold_tokens(
             if chord_token is None:
                 # OOV chord: position token stays, chord token is dropped
                 # (reference: encoder.py:56-67 else-branch)
-                print(f"OOV {chord_word}")
+                print(f"OOV {chord_word}", file=sys.stderr)
                 continue
             times.append(chord_time)
             tokens.append(chord_token)
@@ -303,7 +304,7 @@ def decode_tokens_to_midi(midi_info: MidiInfo) -> MidiFile:
         name_value = word2event.get(word)
         if name_value is None:
             if word != _EOS:
-                print(f"OOV: {word}")
+                print(f"OOV: {word}", file=sys.stderr)
             continue
         name, value = name_value.split("_")
         events.append((name, value))

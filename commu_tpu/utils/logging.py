@@ -14,16 +14,19 @@ from typing import Optional
 
 def configure_logging(work_dir: Optional[str] = None,
                       name: str = "ComMU",
-                      rank: Optional[int] = None) -> logging.Logger:
+                      rank: Optional[int] = None,
+                      stream=None) -> logging.Logger:
     """``rank=None`` — single-process layout; ``rank=N`` — multi-host layout
-    (per-rank file, console only on rank 0)."""
+    (per-rank file, console only on rank 0).  ``stream`` overrides the
+    console destination — serving mode logs to stderr so stdout stays a
+    clean JSON protocol channel."""
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
     fmt = logging.Formatter(
         "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
     if rank is None or rank == 0:
-        console = logging.StreamHandler(sys.stdout)
+        console = logging.StreamHandler(stream or sys.stdout)
         console.setFormatter(fmt)
         logger.addHandler(console)
     if work_dir is not None:

@@ -88,8 +88,10 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    import sys
     from commu_tpu.utils.logging import configure_logging
-    configure_logging(None)
+    # --serve speaks line-JSON on stdout; logs must ride stderr there
+    configure_logging(None, stream=sys.stderr if args.serve else None)
 
     from commu_tpu.config import get_default_cfg_inference
     from commu_tpu.generation import GenerationInput, MidiGenerationPipeline

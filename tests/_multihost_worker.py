@@ -80,6 +80,69 @@ def run_steps(mesh, cfg, feed, device_memory, replicate, n_steps=3):
     return nlls, digest
 
 
+def trainer_cfg():
+    """Tiny Trainer config whose schedule crosses eval/checkpoint boundaries
+    (eval_interval 2, max_step 4 -> two eval passes, collective save_last,
+    save_best + test pass on improvement)."""
+    from commu_tpu.config import (EvaluateConfig, ModelConfig, TrainConfig,
+                                  TrainingConfig)
+    return TrainingConfig(
+        model=ModelConfig(num_layers=2, num_heads=2, units=32, inner_size=64,
+                          dropout=0.0, attention_dropout=0.0),
+        # lr high enough that val NLL strictly improves at every eval: the
+        # save_best decision must not hinge on a reduction-order wobble
+        # between process topologies (final_test restores checkpoint_best,
+        # so a flipped decision would diverge the post-restore state)
+        train=TrainConfig(batch_size=8, batch_chunk=2, tgt_length=16,
+                          mem_length=32, lr=4e-2, warmup_step=2, max_step=4,
+                          log_interval=2, eval_interval=2),
+        evaluate=EvaluateConfig(batch_size=4, tgt_length=16, mem_length=32),
+    )
+
+
+def run_trainer(corpus_dir, work_dir, num_devices=None):
+    """The full Trainer path (train incl. eval/checkpoint cadence, an
+    explicit eval pass, final_test's best-checkpoint restore) — identical
+    between the 2-process workers and the single-process baseline; only the
+    process topology differs (reference: train.py:74-110,199-283,486-514)."""
+    import jax
+    import jax.numpy as jnp
+
+    from commu_tpu.training.loop import Trainer
+
+    tr = Trainer(corpus_dir, work_dir, trainer_cfg(),
+                 num_devices=num_devices, model_dtype=jnp.float32)
+    tr.train()
+    val_tokens, val_nll_sum = tr.evaluate("valid")
+    test_nll = tr.final_test()
+    digest = float(sum(
+        float(jnp.sum(jnp.abs(p)))
+        for p in jax.tree_util.tree_leaves(tr.state.params)))
+    return {"step": int(tr.state.step), "val_tokens": int(val_tokens),
+            "val_nll_sum": float(val_nll_sum),
+            "best_val_nll": float(tr.best_val_nll),
+            "test_nll": float(test_nll), "digest": digest}
+
+
+def main_trainer():
+    pid, nproc, port, out_path, corpus_dir, work_dir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+        sys.argv[5], sys.argv[6])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from commu_tpu.parallel import multihost as mh
+
+    mh.initialize(coordinator_address=f"127.0.0.1:{port}",
+                  num_processes=nproc, process_id=pid)
+    result = run_trainer(corpus_dir, work_dir)
+    mh.sync("trainer_done")
+    if mh.is_primary():
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+    print("WORKER_OK", pid)
+
+
 def main():
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
@@ -137,4 +200,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 5:
+        main_trainer()
+    else:
+        main()

@@ -289,3 +289,66 @@ def test_episode_cache_reuse(tmp_path):
     jit_sampler.execute(model, params, CFG, ICFG, inp_t, list(meta),
                         seed=0, validate=False, episode_cache=cache)
     assert len(cache) == 2
+
+
+def _tiny_model(seed=0):
+    model = TransformerXL(vocab_size=VOCAB_SIZE, cfg=CFG)
+    from commu_tpu.models.transformer_xl import init_memory
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 4), dtype=jnp.int32),
+                        init_memory(N_LAYER, 1, 4, D_MODEL))["params"]
+    return model, params
+
+
+def test_segmented_decode_matches_single_segment(tmp_path, monkeypatch):
+    """The bucketed-capacity decode loop (jit_sampler._segment_caps) must be
+    BIT-IDENTICAL to the single-segment loop: same tokens, lengths, flags —
+    the segments only change which static cache view each token reads, never
+    the loop state or the PRNG stream.  capacity=512 -> views [256, 512];
+    row_caps 280-420 force both rows across the 256 boundary."""
+    from commu_tpu.generation import jit_sampler
+
+    model, params = _tiny_model()
+    icfg_long = dataclasses.replace(ICFG, generation_length=448)
+    inp = dataclasses.replace(  # temp 0.95: stress the PRNG stream identity
+        _input_data(tmp_path, CHORDS_ONE_PER_BAR), temperature=0.95)
+    meta = encode_meta(inp.midi_meta())
+    batch = [inp] * 2
+    row_cap = np.array([420, 280], dtype=np.int32)
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("COMMU_SEG_DECODE", flag)
+        episode, chord_cap = jit_sampler.build_episode(
+            model, params, CFG, icfg_long, batch, capacity=512)
+        outs[flag] = jit_sampler.run_episode(
+            episode, chord_cap, batch, [list(meta)] * 2,
+            jax.random.PRNGKey(3), row_cap=row_cap)
+
+    seg_seqs, seg_failed, seg_rems = outs["1"]
+    one_seqs, one_failed, one_rems = outs["0"]
+    assert max(len(s) for s in seg_seqs) > 256  # the boundary was crossed
+    assert seg_seqs == one_seqs
+    assert (seg_failed == one_failed).all()
+    assert (seg_rems == one_rems).all()
+
+
+def test_cache_overflow_marks_row_failed(tmp_path):
+    """A row whose commits exhaust the KV-cache capacity must surface as
+    failed=True (ADVICE r4: commit() silently drops the newest K/V while
+    length keeps counting — the truncated context must not pass as valid).
+    capacity=128 with a 200-token budget guarantees overflow."""
+    from commu_tpu.generation import jit_sampler
+
+    model, params = _tiny_model()
+    icfg_long = dataclasses.replace(ICFG, generation_length=256)
+    inp = dataclasses.replace(_input_data(tmp_path, CHORDS_ONE_PER_BAR),
+                              temperature=0.95)
+    meta = encode_meta(inp.midi_meta())
+    batch = [inp] * 2
+    episode, chord_cap = jit_sampler.build_episode(
+        model, params, CFG, icfg_long, batch, capacity=128)
+    outs, failed, rems = jit_sampler.run_episode(
+        episode, chord_cap, batch, [list(meta)] * 2, jax.random.PRNGKey(0),
+        row_cap=np.array([240, 240], dtype=np.int32))
+    assert failed.all()

@@ -32,6 +32,13 @@ def parse_args():
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 4-10 into "
                         "work_dir/profile")
+    p.add_argument("--precise_bd", action="store_true",
+                   help="compute the relative-position (BD) score matmul in "
+                        "bf16 instead of the int8 fast mode that training "
+                        "defaults to (parity-exact kernels; ~3 ms/step "
+                        "slower — see README kernel-knob table and "
+                        "CONVERGENCE_pallas.json / CONVERGENCE_bd_int8.json "
+                        "for the fast mode's training-quality evidence)")
     # Multi-host data parallelism (replaces the reference's
     # torch.distributed.launch + env:// rendezvous, train.py:361, README.md:80).
     # On TPU pods --distributed alone suffices (coordinator auto-discovered);
@@ -66,6 +73,16 @@ def main():
     args = parse_args()
 
     import os
+    # Fast-mode default for production TRAINING: the forward BD matmul on
+    # the MXU's int8 path (-3 ms/step at the reference shape; convergence
+    # parity vs the executed torch reference: CONVERGENCE_pallas.json
+    # rel-gap at dropout 0.1, CONVERGENCE_bd_int8.json at dropout 0).  The
+    # kernel-level default stays bf16 so every parity/verify context is
+    # exact; --precise_bd (or COMMU_BD_INT8=0) selects it here too.
+    if args.precise_bd:
+        os.environ["COMMU_BD_INT8"] = "0"
+    else:
+        os.environ.setdefault("COMMU_BD_INT8", "1")
     from commu_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
