@@ -24,10 +24,12 @@ BASELINE_TOKENS_PER_SEC = 70_000.0  # estimated reference A100 (BASELINE.md)
 def main():
     import os
     # the production-training fast mode (train.py defaults to it too):
-    # forward BD matmul on the MXU int8 path — convergence evidence in
-    # CONVERGENCE_pallas.json / CONVERGENCE_bd_int8.json; COMMU_BD_INT8=0
-    # benches the parity-exact bf16 kernels instead
+    # forward BD + backward dphi matmuls on the MXU int8 path — convergence
+    # evidence in CONVERGENCE_pallas.json / CONVERGENCE_bd_int8_bwd.json /
+    # CONVERGENCE_bd_int8.json; COMMU_BD_INT8=0 COMMU_BD_INT8_BWD=0 benches
+    # the parity-exact bf16 kernels instead
     os.environ.setdefault("COMMU_BD_INT8", "1")
+    os.environ.setdefault("COMMU_BD_INT8_BWD", "1")
     from commu_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax

@@ -367,7 +367,43 @@ def build_episode(model, params, cfg: ModelConfig, icfg: InferenceConfig,
         model, params, cfg, icfg, capacity=capacity, seq_buf=seq_buf,
         chord_cap=chord_cap, temperature=inputs[0].temperature,
         top_k=inputs[0].top_k)
+    episode = _aot_episode(
+        episode, model, params, cfg,
+        (icfg.generation_length, icfg.memory_length, capacity, seq_buf,
+         chord_cap, inputs[0].temperature, inputs[0].top_k, len(inputs)))
     return episode, chord_cap
+
+
+def _aot_episode(episode, model, params, cfg: ModelConfig, statics):
+    """Route the episode's one-time compile through the on-disk AOT
+    executable store (utils.aot_cache): a warm process start deserializes
+    the compiled episode in seconds instead of paying the 20-50 s per-shape
+    compile — the serving cold-start answer on runtimes where the XLA
+    compile cache loses (see the aot_cache module docstring).  No-op on CPU
+    or under COMMU_AOT_CACHE=0; params are digested into the key (they are
+    captured constants of the executable), so a new checkpoint is a miss."""
+    from ..utils import aot_cache
+    if not aot_cache.enabled():
+        return episode
+    import dataclasses
+    import os
+
+    key_parts = ("episode-v1", tuple(sorted(
+        (k, str(v)) for k, v in dataclasses.asdict(cfg).items())),
+        statics, str(getattr(model, "dtype", None)),
+        os.environ.get("COMMU_SEG_DECODE", "1"),
+        aot_cache.params_digest(params))
+    cell = {}
+
+    def call(*args):
+        if "exe" not in cell:
+            avals = tuple((np.shape(a), str(np.asarray(a).dtype))
+                          for a in args)
+            cell["exe"] = aot_cache.load_or_compile(
+                key_parts + (avals,), episode, args)
+        return cell["exe"](*args)
+
+    return call
 
 
 def run_episode(episode, chord_cap: int, inputs: List,

@@ -370,6 +370,23 @@ def quantize_psi_int8(psi: jnp.ndarray) -> jnp.ndarray:
                     -127, 127).astype(jnp.int8)
 
 
+def _bd_int8_bwd() -> bool:
+    """COMMU_BD_INT8_BWD=1 (opt-in): compute the BACKWARD dphi matmul
+    (dphi = ds @ psi^T — 36 of the backward's ~106 MXU passes per
+    (row, head) unit at the training shape) on the MXU's int8 path.
+    Quantization mirrors the forward lever (``_bd_int8``): psi at the fixed
+    1/127 scale as an extra resident operand, ds with a per-QUERY-row
+    absmax scale computed in-kernel, exact int32 accumulation.  The
+    roundings put ~1% RMS on dphi — which feeds only the position-path
+    query cotangent and dW_r/bias gradients (the content path dk/dq-AC and
+    dv are untouched) — gradient noise well below SGD batch noise, but a
+    semantic deviation from the bf16 path, so: OFF at the kernel layer,
+    promoted by the production-training entry points only with committed
+    convergence evidence (see BASELINE.md / README knob table)."""
+    import os
+    return os.environ.get("COMMU_BD_INT8_BWD", "0") == "1"
+
+
 def _bd_matmul(phi_f32, psi_ref, psiq_ref, out_dtype):
     """BD = phi @ psi, on the int8 MXU path when ``psiq_ref`` is present
     (see _bd_int8), else bf16.  Returns f32 [T, K]."""
@@ -708,9 +725,15 @@ def _fused_fwd_proj(q, rwbs, rrbs, mem, layer_idx, wk3, wv3, k_win, v_win,
 
 
 def _bwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
-                vm_ref, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, do_ref,
-                e_ref, dq_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref,
-                *, t, k_len, dropout_p, train, hp, scale):
+                vm_ref, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref, *rest,
+                t, k_len, dropout_p, train, hp, scale):
+    # rest = (do_ref, e_ref, [psiq (int8 dphi operand, _bd_int8_bwd),]
+    #         dq_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref)
+    do_ref, e_ref, rest = rest[0], rest[1], rest[2:]
+    psiq_ref = None
+    if _bd_int8_bwd():
+        psiq_ref, rest = rest[0], rest[1:]
+    dq_ref, dkm_ref, dkw_ref, dvm_ref, dvw_ref, dwr_ref = rest
     b, hg = pl.program_id(0), pl.program_id(1)
     m_cap = k_len - t
 
@@ -723,7 +746,7 @@ def _bwd_kernel(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
     def finish(rr, hh, h, a):
         dq, dk, dv, dwr_wide = _bwd_stage_b(
             wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p,
-            scale=scale)
+            scale=scale, psiq_ref=psiq_ref)
         dq_ref[0, hh, :, :] = dq.astype(dq_ref.dtype)
         if dkm_ref is not None:
             dkm_ref[0, hh, :, :] = dk[:, :m_cap].astype(dkm_ref.dtype)
@@ -779,7 +802,7 @@ def _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
 
 
 def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
-                 *, dropout_p, scale):
+                 *, dropout_p, scale, psiq_ref=None):
     """Backward stage B: softmax backward (VPU) and the remaining matmuls
     -> (dq [dh,T], dk [dh,K], dv [dh,K], dwr_wide [dh, 512+128]).
 
@@ -811,9 +834,20 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
     dk = jax.lax.dot_general(qw, ds_c, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)     # [dh,K]
 
-    psi = psi_ref[:, :]
-    dphi = jax.lax.dot_general(ds_c, psi, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)   # [T,512]
+    if psiq_ref is not None:
+        # int8 dphi (_bd_int8_bwd): per-query-row absmax scale on ds, the
+        # 1/127-scaled int8 psi as the resident operand, int32 accumulation
+        amax = jnp.max(jnp.abs(ds), axis=1, keepdims=True)       # [T,1] f32
+        sc = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+        ds_q = jnp.round(ds * (1.0 / sc)).astype(jnp.int8)
+        dphi_i = jax.lax.dot_general(ds_q, psiq_ref[:, :],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+        dphi = dphi_i.astype(jnp.float32) * (sc * (1.0 / 127.0))  # [T,512]
+    else:
+        psi = psi_ref[:, :]
+        dphi = jax.lax.dot_general(ds_c, psi, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # [T,512]
     du = _trig_combine_bwd(dphi, trig_ref[:, :]).astype(k.dtype)     # [T,512]
     w_r = wr_ref[h]
     # fused content+position query cotangent: one [dh, K+512] x [T, K+512]
@@ -943,11 +977,15 @@ def _bwd_mem_kernel(kernel_fn, has_mem):
         return kernel_fn
 
     def wrapped(scalar_ref, q_ref, rwbs_ref, rrbs_ref, kw_ref, vw_ref,
-                wr_ref, trig_ref, psi_ref, mask_ref, do_ref, e_ref, dq_ref,
-                dkw_ref, dvw_ref, dwr_ref):
+                wr_ref, trig_ref, psi_ref, mask_ref, *rest):
+        # rest = (do_ref, e_ref, [psiq,] dq_ref, dkw_ref, dvw_ref, dwr_ref)
+        pre, rest = rest[:2], rest[2:]
+        if _bd_int8_bwd():
+            pre, rest = pre + (rest[0],), rest[1:]
+        dq_ref, dkw_ref, dvw_ref, dwr_ref = rest
         return kernel_fn(scalar_ref, q_ref, rwbs_ref, rrbs_ref, None, kw_ref,
                          None, vw_ref, wr_ref, trig_ref, psi_ref, mask_ref,
-                         do_ref, e_ref, dq_ref, None, dkw_ref, None, dvw_ref,
+                         *pre, dq_ref, None, dkw_ref, None, dvw_ref,
                          dwr_ref)
     return wrapped
 
@@ -1149,11 +1187,14 @@ def _fused_bwd(dropout_p, train, scale, residuals, g):
     kernel = _bwd_mem_kernel(functools.partial(
         _bwd_kernel, t=t, k_len=t, dropout_p=dropout_p, train=train,
         hp=bwd_hp, scale=scale), False)
+    extra = (("t", g.astype(dtype)), ("e", e))
+    if _bd_int8_bwd():
+        extra += (("r", quantize_psi_int8(psi)),)
     dq, dkw, dvw, dwr_bh = _fused_call(
         kernel,
         [("t", dtype), ("t", dtype), ("t", dtype), ("fw", jnp.float32)],
         q, rwbs, rrbs, None, k_win, None, v_win, w_r, trig_a, psi, mask,
-        scalars, extra=(("t", g.astype(dtype)), ("e", e)), hp=bwd_hp)
+        scalars, extra=extra, hp=bwd_hp)
     dwr_wide = dwr_bh.sum(axis=0, dtype=jnp.float32)
     dwr, drwb, drrb = _split_dwr(dwr_wide, fdim, rwb, rrb)
     # trig_a/psi/mask are pure functions of step counters (no parameters
@@ -1172,9 +1213,8 @@ fused_core.defvjp(_fused_core_fwd, _fused_bwd)
 
 def _bwd_kernel_mem(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
                     vm_ref, vw_ref, mem_ref, wr_ref, trig_ref, psi_ref,
-                    mask_ref, do_ref, e_ref,
-                    dq_ref, dkw_ref, dvw_ref, dwk_ref, dwv_ref,
-                    dwr_ref, *, t, k_len, dropout_p, train, hp, scale, rp=1):
+                    mask_ref, do_ref, e_ref, *rest,
+                    t, k_len, dropout_p, train, hp, scale, rp=1):
     """Backward with the memory-half weight gradients accumulated IN-KERNEL.
 
     Grid is (H/hp, B/rp) — batch INNERMOST — so the dWk/dWv/dWr accumulator
@@ -1188,6 +1228,12 @@ def _bwd_kernel_mem(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
     COMMU_BWD_RP > 1 the program covers ``rp`` batch rows (see
     ``_bwd_pipeline``); the dW slab matmuls then accumulate over the rows'
     memory blocks too."""
+    # rest = ([psiq (int8 dphi operand, _bd_int8_bwd),]
+    #         dq_ref, dkw_ref, dvw_ref, dwk_ref, dwv_ref, dwr_ref)
+    psiq_ref = None
+    if _bd_int8_bwd():
+        psiq_ref, rest = rest[0], rest[1:]
+    dq_ref, dkw_ref, dvw_ref, dwk_ref, dwv_ref, dwr_ref = rest
     hg, b0 = pl.program_id(0), pl.program_id(1)
     m_cap = k_len - t
     first = b0 == 0
@@ -1207,7 +1253,7 @@ def _bwd_kernel_mem(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
     def finish(rr, hh, h, a):
         dq, dk, dv, dwr_wide = _bwd_stage_b(
             wr_ref, trig_ref, psi_ref, a, h, dropout_p=dropout_p,
-            scale=scale)
+            scale=scale, psiq_ref=psiq_ref)
         dq_ref[rr, hh, :, :] = dq.astype(dq_ref.dtype)
         dkw_ref[rr, hh, :, :] = dk[:, m_cap:].astype(dkw_ref.dtype)
         dvw_ref[rr, hh, :, :] = dv[:, m_cap:].astype(dvw_ref.dtype)
@@ -1268,7 +1314,8 @@ def _bwd_kernel_mem(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
 
 
 def _bwd_call_mem(kernel_fn, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem,
-                  w_r, trig_a, psi, mask, scalars, do, e, layer_idx, rp=1):
+                  w_r, trig_a, psi, mask, scalars, do, e, layer_idx, rp=1,
+                  psiq=None):
     """pallas_call for the memory-fused backward: grid (H/hp, B/rp).
 
     ``mem`` is the FULL blocked ring buffer [L+1, R, B, D, Tb]; the
@@ -1306,7 +1353,8 @@ def _bwd_call_mem(kernel_fn, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem,
     in_specs = [bh_t, resident(rwbs.shape), resident(rrbs.shape),
                 bh_m, bh_t, bh_m, bh_t, mem_spec,
                 resident(w_r.shape), resident(trig_a.shape),
-                resident(psi.shape), resident(mask.shape), bh_t, e_blk]
+                resident(psi.shape), resident(mask.shape), bh_t, e_blk] + \
+        ([resident(psiq.shape)] if psiq is not None else [])
     out_specs = [bh_t, bh_t, bh_t, acc(d_model), acc(d_model),
                  acc(fdim + 128)]
     out_shape = [
@@ -1326,7 +1374,7 @@ def _bwd_call_mem(kernel_fn, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(scalars, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a,
-      psi, mask, do, e)
+      psi, mask, do, e, *(() if psiq is None else (psiq,)))
 
 
 def _proj_pipe() -> int:
@@ -1483,7 +1531,8 @@ def _fused_bwd_mem(dropout_p, train, layer_idx, scale, residuals, g):
         rp=rp)
     dq, dkw, dvw, dwk, dwv, dwr_wide = _bwd_call_mem(
         kernel, q, rwbs, rrbs, k_mem, k_win, v_mem, v_win, mem, w_r, trig_a,
-        psi, mask, scalars, g.astype(dtype), e, layer_idx, rp=rp)
+        psi, mask, scalars, g.astype(dtype), e, layer_idx, rp=rp,
+        psiq=quantize_psi_int8(psi) if _bd_int8_bwd() else None)
     # kernel emits [H, dh, D] f32; the projection slice wants [D, H, dh]
     dwk3 = jnp.transpose(dwk, (2, 0, 1)).astype(wk3.dtype)
     dwv3 = jnp.transpose(dwv, (2, 0, 1)).astype(wv3.dtype)

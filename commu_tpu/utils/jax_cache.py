@@ -39,14 +39,19 @@ Policy summary (see enable_persistent_cache):
 - PIN-FREE entry points (the generation stack) cache BY DEFAULT on local
   runtimes — a warm process start skips the per-shape episode compile —
   EXCEPT through the axon tunnel, where a warm load measured 105.7 s
-  against a 9.2 s cold compile (VERIFY_cache_r04.json: deserialize/upload
-  through the relay costs more than compiling) and the default stays off.
+  against a 9.2 s cold compile (VERIFY_cache_r04.json: the compile-cache
+  deserialize path loses to compiling there) and the default stays off.
 - PINNED entry points (train/eval) cache only on explicit
   COMMU_COMPILE_CACHE=1, because of failure mode 2 above.
-- On tunneled runtimes serving-grade cold start comes from PROCESS REUSE:
-  generation compiles once per (batch, capacity) shape per process and
-  episodes take ~0.2 s after that — keep the pipeline object alive across
-  requests (see generate.py --num_generate batching and the pipeline API).
+- CLOSED (round 5): the slowness is the COMPILE-CACHE deserialize path,
+  not the tunnel — directly serializing the loaded PJRT executable
+  (jax.experimental.serialize_executable) measured 0.4 s load against a
+  10.3 s cold compile on the same tunneled runtime (VERIFY_aot_r05.json),
+  and the production generation path now warm-starts through exactly that
+  vehicle: the AOT episode store in commu_tpu.utils.aot_cache (gated by
+  scripts/verify_aot.py --integrated).  Process reuse (~0.2 s/episode once
+  compiled) remains the answer WITHIN a process; the AOT store is the
+  answer ACROSS process starts.
 
 COMMU_COMPILE_CACHE=1 forces the cache on everywhere; =0 forces it off;
 COMMU_COMPILE_CACHE_DIR overrides the location

@@ -17,7 +17,10 @@ cd "$(dirname "$0")/.."
 BASE="${1:-./quickstart}"
 
 echo "== 1/3 synthetic corpus -> ${BASE}/output_npy"
-python scripts/make_synthetic_corpus.py "${BASE}/output_npy" --n 200
+# full-size training packs a 256-row global batch, so the train split must
+# hold more than 256 sequences; the reduced SMALL model needs far fewer
+N=$([[ "${SMALL:-0}" == "1" ]] && echo 200 || echo 400)
+python scripts/make_synthetic_corpus.py "${BASE}/output_npy" --n "$N"
 
 SMALL_OVERRIDES=()
 if [[ "${SMALL:-0}" == "1" ]]; then

@@ -116,6 +116,57 @@ print("LOAD_OK load_s=%.1f first_call_s=%.2f digest=%d" % (
 """
 
 
+_INTEGRATED = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["COMMU_AOT_CACHE_DIR"] = {aot_dir!r}
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from commu_tpu.config import InferenceConfig, ModelConfig, get_default_cfg_training
+from commu_tpu.generation import jit_sampler
+from commu_tpu.generation.container import GenerationInput
+from commu_tpu.models.transformer_xl import TransformerXL
+from commu_tpu.training.step import create_train_state
+from commu_tpu.vocab.event_tokens import VOCAB_SIZE
+from commu_tpu.vocab.meta_codec import encode_meta
+
+mcfg = ModelConfig(same_length=True)
+icfg = InferenceConfig(generation_length=1024)
+model = TransformerXL(VOCAB_SIZE, mcfg, dtype=jnp.bfloat16)
+state = create_train_state(jax.random.PRNGKey(0), model,
+                           get_default_cfg_training())
+params = jax.tree_util.tree_map(
+    lambda a: np.asarray(a).astype(jnp.bfloat16), state.params)
+inp = GenerationInput(
+    bpm=70, audio_key="aminor", time_signature="4/4", pitch_range="mid",
+    num_measures=8.0, inst="acoustic_piano", genre="newage",
+    min_velocity=60, max_velocity=80, track_role="main_melody",
+    rhythm="standard", output_dir=".", num_generate=1, top_k=32,
+    temperature=0.95,
+    chord_progression=(["Am"] * 16 + ["F"] * 16 + ["C"] * 16 + ["G"] * 16))
+meta = list(encode_meta(inp.midi_meta()))
+
+t0 = time.perf_counter()
+episode, chord_cap = jit_sampler.build_episode(model, params, mcfg, icfg,
+                                               [inp])
+outs, failed, rems = jit_sampler.run_episode(
+    episode, chord_cap, [inp], [meta], jax.random.PRNGKey(5),
+    row_cap=np.array([700], dtype=np.int32))
+first_s = time.perf_counter() - t0
+t0 = time.perf_counter()
+outs2, _, _ = jit_sampler.run_episode(
+    episode, chord_cap, [inp], [meta], jax.random.PRNGKey(5),
+    row_cap=np.array([700], dtype=np.int32))
+steady_s = time.perf_counter() - t0
+assert outs2 == outs  # same key -> deterministic episode
+digest = sum(sum(s) for s in outs) + sum(len(s) for s in outs)
+print("INTEGRATED_OK first_episode_s=%.1f steady_s=%.2f digest=%d" % (
+    first_s, steady_s, digest))
+"""
+
+
 def _run(code: str, timeout: int = 1800):
     proc = subprocess.run([sys.executable, "-c", code],
                           cwd=tempfile.gettempdir(), capture_output=True,
@@ -134,7 +185,48 @@ def _parse(line_tag: str, stdout: str) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--emit", default="VERIFY_aot_r05.json")
+    ap.add_argument("--integrated", action="store_true",
+                    help="gate the PRODUCTION path instead of the raw API "
+                         "experiment: a cold subprocess builds + runs a "
+                         "full-size episode through build_episode (AOT "
+                         "store populated), a warm subprocess repeats — "
+                         "tokens must match and the warm first-episode "
+                         "wall must beat the cold compile")
     args = ap.parse_args()
+
+    if args.integrated:
+        aot_dir = tempfile.mkdtemp(prefix="commu_aotdir_")
+        t0 = time.time()
+        cold = _run(_INTEGRATED.format(repo=_REPO, aot_dir=aot_dir))
+        cold_ok = cold.returncode == 0 and "INTEGRATED_OK" in cold.stdout
+        cold_m = _parse("INTEGRATED_OK", cold.stdout)
+        result = {"check": "aot_integrated_cold_warm", "cold": cold_m,
+                  "cold_ok": cold_ok}
+        if not cold_ok:
+            result["cold_err"] = cold.stdout[-1500:] + cold.stderr[-3000:]
+        else:
+            warm = _run(_INTEGRATED.format(repo=_REPO, aot_dir=aot_dir))
+            warm_ok = warm.returncode == 0 and "INTEGRATED_OK" in warm.stdout
+            warm_m = _parse("INTEGRATED_OK", warm.stdout)
+            result["warm"] = warm_m
+            result["warm_ok"] = warm_ok
+            if not warm_ok:
+                result["warm_err"] = warm.stdout[-1500:] + warm.stderr[-3000:]
+            else:
+                result["tokens_identical"] = (
+                    cold_m.get("digest") == warm_m.get("digest"))
+                result["aot_wins"] = bool(
+                    warm_m["first_episode_s"] < 0.5 * cold_m["first_episode_s"])
+                result["ok"] = bool(result["tokens_identical"]
+                                    and result["aot_wins"])
+        result["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(result))
+        with open(args.emit, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+        if not result.get("ok"):
+            sys.exit(1)
+        return
 
     payload_path = os.path.join(tempfile.mkdtemp(prefix="commu_aot_"),
                                 "episode.pjrt")

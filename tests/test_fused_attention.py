@@ -297,3 +297,53 @@ def test_bd_int8_parity(monkeypatch):
     # and far more correlated than any wrong-math failure mode
     corr = np.corrcoef(lp.ravel(), lq.ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_bd_int8_bwd_parity(monkeypatch):
+    """COMMU_BD_INT8_BWD (opt-in): the int8 dphi backward must track the
+    bf16 backward within the quantization error budget.  The FORWARD value
+    is untouched (the flag only changes the backward's dphi matmul), dv and
+    the content-path dk are bit-identical (ds itself is not quantized —
+    only the copy entering the dphi contraction), and the position-path
+    gradients (w_r, r_r_bias, and dq's position component) agree to a few
+    percent."""
+    xla_model, pal_model, params = _setup()
+    rng = np.random.RandomState(7)
+    tokens = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    targets = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    memory = init_memory(N_LAYER, 3, M, D_MODEL)
+    warm = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    _, memory = xla_model.apply({"params": params}, warm, memory)
+    reset = jnp.asarray([False] * 3)
+
+    def run():
+        def f(p):
+            logits, _ = pal_model.apply({"params": p}, tokens, memory, reset)
+            nll = token_nll(logits, targets)
+            return (nll * (targets != PAD_ID)).mean()
+        return jax.value_and_grad(f)(params)
+
+    monkeypatch.delenv("COMMU_BD_INT8_BWD", raising=False)
+    l0, g0 = run()
+    monkeypatch.setenv("COMMU_BD_INT8_BWD", "1")
+    l1, g1 = run()
+    l2, g2 = run()
+
+    # the forward is untouched; the int8 backward is deterministic
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    for a, b in zip(jax.tree_util.tree_leaves(g2),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(g1)[0])
+    for path, v0 in flat0:
+        key = jax.tree_util.keystr(path)
+        v0, v1 = np.asarray(v0, np.float64), np.asarray(flat1[path], np.float64)
+        scale = max(np.abs(v0).max(), 1e-12)
+        err = np.abs(v1 - v0).max() / scale
+        # every gradient stays within a few percent of the exact path;
+        # most (content path, dv, FFN, embeddings) are much closer
+        assert err < 0.05, (key, err)
+        corr = np.corrcoef(v0.ravel(), v1.ravel())[0, 1] if v0.size > 1 else 1.0
+        assert corr > 0.995, (key, corr)

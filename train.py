@@ -33,11 +33,11 @@ def parse_args():
                    help="capture a jax.profiler trace of steps 4-10 into "
                         "work_dir/profile")
     p.add_argument("--precise_bd", action="store_true",
-                   help="compute the relative-position (BD) score matmul in "
-                        "bf16 instead of the int8 fast mode that training "
-                        "defaults to (parity-exact kernels; ~3 ms/step "
+                   help="compute the relative-position (BD) matmuls in bf16 "
+                        "instead of the int8 fast mode that training "
+                        "defaults to (parity-exact kernels; ~5 ms/step "
                         "slower — see README kernel-knob table and "
-                        "CONVERGENCE_pallas.json / CONVERGENCE_bd_int8.json "
+                        "CONVERGENCE_pallas.json / CONVERGENCE_bd_int8*.json "
                         "for the fast mode's training-quality evidence)")
     # Multi-host data parallelism (replaces the reference's
     # torch.distributed.launch + env:// rendezvous, train.py:361, README.md:80).
@@ -73,16 +73,21 @@ def main():
     args = parse_args()
 
     import os
-    # Fast-mode default for production TRAINING: the forward BD matmul on
-    # the MXU's int8 path (-3 ms/step at the reference shape; convergence
-    # parity vs the executed torch reference: CONVERGENCE_pallas.json
-    # rel-gap at dropout 0.1, CONVERGENCE_bd_int8.json at dropout 0).  The
-    # kernel-level default stays bf16 so every parity/verify context is
-    # exact; --precise_bd (or COMMU_BD_INT8=0) selects it here too.
+    # Fast-mode default for production TRAINING: the forward BD matmul and
+    # the backward dphi matmul on the MXU's int8 path (-5 ms/step combined
+    # at the reference shape; convergence parity vs the executed torch
+    # reference at this exact config: CONVERGENCE_pallas.json (fwd int8,
+    # dropout 0.1), CONVERGENCE_bd_int8_bwd.json (fwd+bwd int8, dropout
+    # 0.1), CONVERGENCE_bd_int8.json (dropout 0)).  The kernel-level
+    # defaults stay bf16 so every parity/verify context is exact;
+    # --precise_bd (or COMMU_BD_INT8=0 COMMU_BD_INT8_BWD=0) selects the
+    # exact mode here too.
     if args.precise_bd:
         os.environ["COMMU_BD_INT8"] = "0"
+        os.environ["COMMU_BD_INT8_BWD"] = "0"
     else:
         os.environ.setdefault("COMMU_BD_INT8", "1")
+        os.environ.setdefault("COMMU_BD_INT8_BWD", "1")
     from commu_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
