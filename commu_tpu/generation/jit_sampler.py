@@ -399,9 +399,21 @@ def _aot_episode(episode, model, params, cfg: ModelConfig, statics):
         if "exe" not in cell:
             avals = tuple((np.shape(a), str(np.asarray(a).dtype))
                           for a in args)
-            cell["exe"] = aot_cache.load_or_compile(
-                key_parts + (avals,), episode, args)
-        return cell["exe"](*args)
+            cell["key"] = key_parts + (avals,)
+            cell["exe"], cell["loaded"] = aot_cache.load_or_compile(
+                cell["key"], episode, args)
+        try:
+            return cell["exe"](*args)
+        except Exception:
+            if not cell.pop("loaded", False):
+                raise
+            # a deserialized executable that loads but cannot EXECUTE on
+            # this runtime: recompile fresh (replacing the bad store entry)
+            # and retry once — behavior identical minus the wait
+            logger.warning("AOT-loaded episode failed at execution — "
+                           "recompiling")
+            cell["exe"] = aot_cache.compile_fresh(cell["key"], episode, args)
+            return cell["exe"](*args)
 
     return call
 

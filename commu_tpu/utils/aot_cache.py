@@ -100,10 +100,12 @@ def _key_path(key_parts) -> str:
 
 
 def load_or_compile(key_parts, jit_fn, args):
-    """Return a callable for ``jit_fn`` specialized to ``args``: the
-    deserialized AOT executable on a warm hit, else the freshly compiled
-    executable (serialized for next time).  Falls back to ``jit_fn`` itself
-    if even explicit lowering fails (never raises)."""
+    """Return ``(callable, from_cache)`` for ``jit_fn`` specialized to
+    ``args``: the deserialized AOT executable on a warm hit
+    (``from_cache=True`` — callers should fall back to :func:`compile_fresh`
+    if its first EXECUTION fails), else the freshly compiled executable
+    (serialized for next time).  Falls back to ``jit_fn`` itself if even
+    explicit lowering fails (never raises)."""
     path = _key_path(key_parts)
     if os.path.isfile(path):
         try:
@@ -117,10 +119,19 @@ def load_or_compile(key_parts, jit_fn, args):
             exe = deserialize_and_load(payload, in_tree, out_tree)
             logger.info("AOT episode loaded in %.1fs (%s)",
                         time.perf_counter() - t0, os.path.basename(path))
-            return exe
+            return exe, True
         except Exception as exc:  # noqa: BLE001 - any skew -> recompile
             logger.warning("AOT load failed (%s: %s) — compiling",
                            type(exc).__name__, exc)
+    return compile_fresh(key_parts, jit_fn, args), False
+
+
+def compile_fresh(key_parts, jit_fn, args):
+    """Compile ``jit_fn`` for ``args`` and serialize the executable into the
+    store (best-effort).  The recovery path when a warm-loaded executable
+    turns out to be unusable at execution time: the fresh serialization
+    REPLACES the bad entry."""
+    path = _key_path(key_parts)
     try:
         exe = jit_fn.lower(*args).compile()
     except Exception as exc:  # noqa: BLE001 - odd args/runtime: plain jit
