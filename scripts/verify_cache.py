@@ -85,6 +85,9 @@ def run_child(cache_dir: str):
     env = dict(os.environ)
     env["COMMU_COMPILE_CACHE"] = "1"
     env["COMMU_COMPILE_CACHE_DIR"] = cache_dir
+    # this gate measures the XLA compile cache in isolation: the AOT
+    # episode store (utils.aot_cache) must not serve the warm child
+    env["COMMU_AOT_CACHE"] = "0"
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD.format(repo=_REPO)], env=env,
         cwd=tempfile.gettempdir(), capture_output=True, text=True,
@@ -145,6 +148,8 @@ def run_gen_child(cache_dir: str):
     env = dict(os.environ)
     env.pop("COMMU_COMPILE_CACHE", None)
     env["COMMU_COMPILE_CACHE_DIR"] = cache_dir
+    # isolate the compile cache under test from the AOT episode store
+    env["COMMU_AOT_CACHE"] = "0"
     proc = subprocess.run(
         [sys.executable, "-c", _GEN_CHILD.format(repo=_REPO)], env=env,
         cwd=tempfile.gettempdir(), capture_output=True, text=True,
