@@ -387,6 +387,34 @@ def _bd_int8_bwd() -> bool:
     return os.environ.get("COMMU_BD_INT8_BWD", "0") == "1"
 
 
+def _int8_dq() -> bool:
+    """COMMU_INT8_DQ=1 (opt-in, probe lever): the fused dq concatenated
+    contraction ([dh, K+512] x [T, K+512], 13 of the backward's MXU passes
+    per unit) on the int8 path.  Both operands quantize along their OUTPUT
+    dims (kw_cat per dh-row, dsu per T-row absmax), so the scale
+    factorization is exact — only the two roundings approximate.  Touches
+    the WHOLE query cotangent (content + position), i.e. a content-path
+    gradient approximation — stricter promotion bar than the BD levers."""
+    import os
+    return os.environ.get("COMMU_INT8_DQ", "0") == "1"
+
+
+def _int8_dk() -> bool:
+    """COMMU_INT8_DK=1 (opt-in, probe lever): dk = qw @ ds ([dh, T] x
+    [T, K], 9 passes per unit) on the int8 path — qw per dh-row absmax,
+    ds per K-COLUMN absmax (the contraction is over T, so scales must ride
+    the output dims).  Content-path approximation like _int8_dq."""
+    import os
+    return os.environ.get("COMMU_INT8_DK", "0") == "1"
+
+
+def _quant_rows(x_f32, eps=1e-30):
+    """(int8 per-ROW absmax quantization, f32 row scales [R, 1])."""
+    amax = jnp.max(jnp.abs(x_f32), axis=1, keepdims=True)
+    sc = jnp.maximum(amax, eps) * (1.0 / 127.0)
+    return jnp.round(x_f32 * (1.0 / sc)).astype(jnp.int8), sc
+
+
 def _bd_matmul(phi_f32, psi_ref, psiq_ref, out_dtype):
     """BD = phi @ psi, on the int8 MXU path when ``psiq_ref`` is present
     (see _bd_int8), else bf16.  Returns f32 [T, K]."""
@@ -831,8 +859,19 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
     ds = pd - p_clean * jnp.sum(pd, axis=1, keepdims=True)           # [T,K]
 
     ds_c = ds.astype(k.dtype)
-    dk = jax.lax.dot_general(qw, ds_c, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)     # [dh,K]
+    if _int8_dk():
+        # contraction over T: scales ride the output dims — qw per dh-row,
+        # ds per K-column ([1, K] lane-wise reduction over sublanes)
+        qw_q, sqw = _quant_rows(qw.astype(jnp.float32))          # [dh,T]
+        cmax = jnp.max(jnp.abs(ds), axis=0, keepdims=True)       # [1, K]
+        scol = jnp.maximum(cmax, 1e-30) * (1.0 / 127.0)
+        ds_qc = jnp.round(ds * (1.0 / scol)).astype(jnp.int8)
+        dk_i = jax.lax.dot_general(qw_q, ds_qc, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        dk = dk_i.astype(jnp.float32) * sqw * scol               # [dh,K]
+    else:
+        dk = jax.lax.dot_general(qw, ds_c, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [dh,K]
 
     if psiq_ref is not None:
         # int8 dphi (_bd_int8_bwd): per-query-row absmax scale on ds, the
@@ -848,14 +887,25 @@ def _bwd_stage_b(wr_ref, trig_ref, psi_ref, stage_a, h,
         psi = psi_ref[:, :]
         dphi = jax.lax.dot_general(ds_c, psi, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)  # [T,512]
-    du = _trig_combine_bwd(dphi, trig_ref[:, :]).astype(k.dtype)     # [T,512]
+    du_f = _trig_combine_bwd(dphi, trig_ref[:, :])                   # [T,512]
+    du = du_f.astype(k.dtype)
     w_r = wr_ref[h]
     # fused content+position query cotangent: one [dh, K+512] x [T, K+512]
     # contraction instead of two M=dh matmuls
     kw_cat = jnp.concatenate([k, w_r], axis=1)                  # [dh, K+512]
-    dsu = jnp.concatenate([ds_c, du], axis=1)                   # [T, K+512]
-    dq = jax.lax.dot_general(kw_cat, dsu, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
+    if _int8_dq():
+        # contraction over K+512: both operands quantize along their
+        # output dims (exact outer-product scale factorization)
+        kw_q, skw = _quant_rows(kw_cat.astype(jnp.float32))
+        dsu_q, sdsu = _quant_rows(
+            jnp.concatenate([ds, du_f.astype(jnp.float32)], axis=1))
+        dq_i = jax.lax.dot_general(kw_q, dsu_q, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        dq = dq_i.astype(jnp.float32) * (skw * scale) * sdsu.reshape(1, -1)
+    else:
+        dsu = jnp.concatenate([ds_c, du], axis=1)               # [T, K+512]
+        dq = jax.lax.dot_general(kw_cat, dsu, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
     dwr = jax.lax.dot_general(qr, du, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)    # [dh,512]
 

@@ -347,3 +347,45 @@ def test_bd_int8_bwd_parity(monkeypatch):
         assert err < 0.05, (key, err)
         corr = np.corrcoef(v0.ravel(), v1.ravel())[0, 1] if v0.size > 1 else 1.0
         assert corr > 0.995, (key, corr)
+
+
+def test_int8_dq_dk_parity(monkeypatch):
+    """COMMU_INT8_DQ / COMMU_INT8_DK (opt-in probe levers): the int8 query
+    and key cotangent matmuls must track the bf16 backward within the
+    quantization budget.  Both scale factorizations are exact along the
+    output dims, so only the operand roundings approximate; the forward is
+    untouched and dv is bit-identical (ds itself is never mutated)."""
+    xla_model, pal_model, params = _setup()
+    rng = np.random.RandomState(9)
+    tokens = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    targets = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    memory = init_memory(N_LAYER, 3, M, D_MODEL)
+    warm = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    _, memory = xla_model.apply({"params": params}, warm, memory)
+    reset = jnp.asarray([False] * 3)
+
+    def run():
+        def f(p):
+            logits, _ = pal_model.apply({"params": p}, tokens, memory, reset)
+            nll = token_nll(logits, targets)
+            return (nll * (targets != PAD_ID)).mean()
+        return jax.value_and_grad(f)(params)
+
+    monkeypatch.delenv("COMMU_INT8_DQ", raising=False)
+    monkeypatch.delenv("COMMU_INT8_DK", raising=False)
+    l0, g0 = run()
+    monkeypatch.setenv("COMMU_INT8_DQ", "1")
+    monkeypatch.setenv("COMMU_INT8_DK", "1")
+    l1, g1 = run()
+
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(g1)[0])
+    for path, v0 in flat0:
+        key = jax.tree_util.keystr(path)
+        v0 = np.asarray(v0, np.float64)
+        v1 = np.asarray(flat1[path], np.float64)
+        scale = max(np.abs(v0).max(), 1e-12)
+        assert np.abs(v1 - v0).max() / scale < 0.05, key
+        if v0.size > 1:
+            assert np.corrcoef(v0.ravel(), v1.ravel())[0, 1] > 0.99, key
