@@ -59,6 +59,13 @@ def parse_args():
                    help="extension: JSON file with a LIST of request objects "
                         "(same keys as the CLI flags); all prompts are "
                         "generated in ONE batched device episode")
+    p.add_argument("--warm", action="store_true",
+                   help="with --serve: run one throwaway episode at the "
+                        "default request shape before printing the ready "
+                        "line, so the first real request pays no compile "
+                        "(the episode lands in the in-process cache and "
+                        "the on-disk AOT store; needs --chord_progression "
+                        "and the meta flags as defaults)")
     p.add_argument("--serve", action="store_true",
                    help="extension: serving loop — read one JSON request "
                         "object per stdin line (same keys as the CLI flags, "
@@ -118,6 +125,28 @@ def main():
         if args.chord_progression:
             defaults["chord_progression"] = args.chord_progression
         counters: dict = {}  # per-output-stem file numbering (no overwrites)
+        if args.warm:
+            # pre-compile the default request shape so "ready" means ready
+            # (episodes cache per (width, temperature, top_k, chord-cap
+            # bucket) — requests at other shapes still compile on first use)
+            import logging
+            log = logging.getLogger("ComMU")
+            try:
+                warm_rec = {
+                    "output_dir": args.output_dir,
+                    "num_generate": args.num_generate,
+                    "top_k": args.top_k, "temperature": args.temperature,
+                    **defaults,
+                }
+                t0 = time.perf_counter()
+                pipeline.generate_sequences(
+                    GenerationInput.from_dict(warm_rec), seed=0,
+                    validate=False)  # throwaway tokens; nothing written
+                log.info("serve warmup done in %.1fs (width %d)",
+                         time.perf_counter() - t0, args.num_generate)
+            except Exception as exc:  # noqa: BLE001 - warmth is optional
+                log.warning("serve warmup skipped (%s: %s)",
+                            type(exc).__name__, exc)
         print(json.dumps({"status": "ready",
                           "checkpoint": args.checkpoint_dir}), flush=True)
         for line in sys.stdin:

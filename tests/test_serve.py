@@ -55,11 +55,16 @@ def served(tmp_path_factory):
 
     out_dir = tmp_path / "out"
     env = dict(os.environ, JAX_PLATFORMS="cpu", COMMU_COMPILE_CACHE="0")
+    # meta flags + chord progression as CLI defaults: --warm needs a full
+    # default request shape to pre-compile before the ready line
+    meta_flags = []
+    for k, v in REQUEST.items():
+        meta_flags += [f"--{k}", str(v)]
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO_ROOT, "generate.py"),
          "--checkpoint_dir", str(work / "checkpoint_best"),
-         "--output_dir", str(out_dir),
-         "--gen_length", "32", "--lenient", "--serve"],
+         "--output_dir", str(out_dir), *meta_flags,
+         "--gen_length", "32", "--lenient", "--warm", "--serve"],
         cwd=REPO_ROOT, env=env, text=True, stdin=subprocess.PIPE,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
 
@@ -81,17 +86,19 @@ def served(tmp_path_factory):
         raise
     assert proc.returncode == 0, f"server died: {err[-2000:]}"
     lines = [json.loads(ln) for ln in out.splitlines() if ln.strip()]
-    return lines, out_dir
+    return lines, out_dir, err
 
 
 def test_ready_line(served):
-    lines, _ = served
+    lines, _, err = served
+    # --warm pre-compiled the default shape BEFORE the ready line
+    assert "serve warmup done" in err
     assert lines[0]["status"] == "ready"
     assert "checkpoint_best" in lines[0]["checkpoint"]
 
 
 def test_responses_in_order_with_ids(served):
-    lines, _ = served
+    lines, _, _ = served
     responses = lines[1:]
     assert len(responses) == 5
     assert [r.get("request_id") for r in responses] == [
@@ -99,7 +106,7 @@ def test_responses_in_order_with_ids(served):
 
 
 def test_valid_requests_produce_files(served):
-    lines, out_dir = served
+    lines, out_dir, _ = served
     by_id = {r.get("request_id"): r for r in lines[1:]}
     for rid in ("r1", "r2", "r5"):
         r = by_id[rid]
@@ -110,7 +117,7 @@ def test_valid_requests_produce_files(served):
 
 
 def test_repeat_stem_counter_does_not_overwrite(served):
-    lines, _ = served
+    lines, _, _ = served
     by_id = {r.get("request_id"): r for r in lines[1:]}
     names = [os.path.basename(by_id[r]["files"][0]) for r in ("r1", "r2", "r5")]
     assert names == ["main_melody_acoustic_piano_mid_000.mid",
@@ -119,7 +126,7 @@ def test_repeat_stem_counter_does_not_overwrite(served):
 
 
 def test_errors_are_reported_and_survived(served):
-    lines, _ = served
+    lines, _, _ = served
     responses = lines[1:]
     malformed = responses[2]
     assert malformed["ok"] is False
