@@ -30,6 +30,7 @@ def main():
     # the parity-exact bf16 kernels instead
     os.environ.setdefault("COMMU_BD_INT8", "1")
     os.environ.setdefault("COMMU_BD_INT8_BWD", "1")
+    os.environ.setdefault("COMMU_DROPOUT_BITS", "8")
     from commu_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax

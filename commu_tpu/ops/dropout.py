@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _interpret, _prng_seed, _vmem_limit, random_keep
+from .fused_attention import (_interpret, _prng_seed, _vmem_limit,
+                              keep_scale_for, random_keep)
 
 # site salts: keep the embedding / output streams disjoint from each other
 # (they also use independently drawn base seeds; the salt is belt-and-braces)
@@ -39,7 +40,7 @@ def _mask(seed, b, salt, shape, dropout_p):
 def _drop_kernel(scalar_ref, x_ref, y_ref, *, dropout_p, salt, rp):
     bp = pl.program_id(0)
     seed = scalar_ref[0]
-    inv = 1.0 / (1.0 - dropout_p)
+    inv = keep_scale_for(dropout_p, True)
     for r in range(rp):
         keep = _mask(seed, bp * rp + r, salt, x_ref.shape[1:], dropout_p)
         x = x_ref[r]

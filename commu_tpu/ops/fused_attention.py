@@ -255,21 +255,79 @@ def build_mask_bias(t: int, m_cap: int, mem_count, head, same_length: bool,
     return jnp.stack([normal, reset_row]).astype(dtype)
 
 
+def _dropout_bits() -> int:
+    """COMMU_DROPOUT_BITS: bits of randomness per dropout decision (16
+    default, 8 opt-in).  ``prng_random_bits`` cost scales with uint32
+    words, so 8-bit draws quarter the mask-generation volume the original
+    full-width draws paid (16-bit halved it).  The keep probability
+    quantizes to 2^-bits; ``effective_dropout_p`` exposes the EXACT
+    realized rate so every keep-scale stays unbiased (at 8 bits the
+    quantization is visible: p=0.1 realizes 26/256 = 0.10156 — a
+    hyperparameter-level shift whose training impact is gated by the same
+    convergence differential as the int8 levers)."""
+    import os
+    return int(os.environ.get("COMMU_DROPOUT_BITS", "16"))
+
+
+def effective_dropout_p(dropout_p: float) -> float:
+    """The exact Bernoulli rate ``random_keep`` realizes for ``dropout_p``
+    under the active draw width — ALL keep-scales must divide by
+    ``1 - effective_dropout_p(p)`` so kept values stay unbiased."""
+    if not dropout_p:
+        return 0.0
+    if _dropout_bits() == 8:
+        return min(255, round(dropout_p * 256.0)) / 256.0
+    return min(0xFFFF, round(dropout_p * 65536.0)) / 65536.0
+
+
+def keep_scale_for(dropout_p: float, train: bool) -> float:
+    """1 / keep-probability at the realized (quantized) dropout rate."""
+    if not train or dropout_p <= 0.0:
+        return 1.0
+    return 1.0 / (1.0 - effective_dropout_p(dropout_p))
+
+
 def random_keep(shape, dropout_p):
-    """Bernoulli(1 - p) keep mask from HALF-WIDTH prng draws.
+    """Bernoulli(1 - p) keep mask from reduced-width prng draws.
 
     ``pltpu.prng_random_bits`` cost scales with the number of uint32 words;
     dropout-mask generation is the dominant dropout cost (measured ~10 ms of
     a ~101 ms step at the reference rates, fwd + bwd regeneration).  Two
-    16-bit halves per word halve that volume; the keep probability is
-    quantized to 2^-16 (|Δp| <= 7.7e-6 — the 32-bit draw was itself
-    quantized to 2^-32).  The two half-planes land in a fixed position
-    permutation of the mask (iid Bernoulli is permutation-invariant, and
-    the forward and backward both derive the mask through this function
-    from the same seed, so they always agree).  Falls back to full-width
-    draws when neither axis splits tile-cleanly."""
-    t16 = jnp.uint32(min(0xFFFF, round(dropout_p * 65536.0)))
+    16-bit halves per word halve that volume (quantizing the keep
+    probability to 2^-16, |Δp| <= 7.7e-6); COMMU_DROPOUT_BITS=8 packs FOUR
+    8-bit decisions per word (rate exactly t/256 on every path — fallback
+    paths compare wider draws against a width-scaled threshold, spending
+    draw volume but never changing the rate).  The split planes land in a
+    fixed position permutation of the mask (iid Bernoulli is
+    permutation-invariant, and the forward and backward both derive the
+    mask through this function from the same seed, so they always agree).
+    Falls back to wider draws when an axis does not split tile-cleanly."""
     r, c = shape
+    if _dropout_bits() == 8:
+        t8 = jnp.uint32(min(255, round(dropout_p * 256.0)))
+        if c % 4 == 0 and (c // 4) % 128 == 0:
+            bits = _prng_random_bits((r, c // 4))
+            parts = [(bits >> jnp.uint32(s)) & jnp.uint32(0xFF)
+                     for s in (0, 8, 16, 24)]
+            return jnp.concatenate(parts, axis=1) >= t8
+        if r % 4 == 0:
+            bits = _prng_random_bits((r // 4, c))
+            parts = [(bits >> jnp.uint32(s)) & jnp.uint32(0xFF)
+                     for s in (0, 8, 16, 24)]
+            return jnp.concatenate(parts, axis=0) >= t8
+        # same 1/256-quantized rate at half / full draw volume
+        if c % 2 == 0 and (c // 2) % 128 == 0:
+            bits = _prng_random_bits((r, c // 2))
+            halves = jnp.concatenate([bits & jnp.uint32(0xFFFF),
+                                      bits >> jnp.uint32(16)], axis=1)
+            return halves >= (t8 << jnp.uint32(8))
+        if r % 2 == 0:
+            bits = _prng_random_bits((r // 2, c))
+            halves = jnp.concatenate([bits & jnp.uint32(0xFFFF),
+                                      bits >> jnp.uint32(16)], axis=0)
+            return halves >= (t8 << jnp.uint32(8))
+        return _prng_random_bits(shape) >= (t8 << jnp.uint32(24))
+    t16 = jnp.uint32(min(0xFFFF, round(dropout_p * 65536.0)))
     # concatenate the u32 HALF-VALUES, not the boolean comparisons — Mosaic
     # cannot concatenate i1 vregs ("Invalid vector register cast").  (The
     # sublane-split variant — halves stacked on axis 0 — was probed in
@@ -520,7 +578,7 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=1, keepdims=True)
     inv_denom = 1.0 / denom                                          # [T,1]
-    keep_scale = 1.0 / (1.0 - dropout_p) if train and dropout_p > 0.0 else 1.0
+    keep_scale = keep_scale_for(dropout_p, train)
     if _defer_norm():
         if train and dropout_p > 0.0:
             _prng_seed(scalar_ref[0] + b * 4096 + h)
@@ -799,7 +857,7 @@ def _bwd_stage_a(scalar_ref, q_ref, rwbs_ref, rrbs_ref, km_ref, kw_ref,
     qw, qr = _fold_q(q_ref, rwbs_ref, rrbs_ref, h, hh, scale, rr)
     k, v = _head_kv(km_ref, kw_ref, vm_ref, vw_ref, hh, rr)
     c = e_ref[rr, hh, :, :].astype(jnp.float32)                      # [T,K]
-    keep_scale = 1.0 / (1.0 - dropout_p) if train and dropout_p > 0.0 else 1.0
+    keep_scale = keep_scale_for(dropout_p, train)
     if _defer_norm():
         # checkpoint holds sign-encoded UNNORMALIZED exps: reconstruct the
         # row normalizer here (|c| = e regardless of the dropout sign, so

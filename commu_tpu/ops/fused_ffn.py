@@ -50,7 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _interpret, _prng_seed, _vmem_limit, random_keep
+from .fused_attention import (_interpret, _prng_seed, _vmem_limit,
+                              keep_scale_for, random_keep)
 
 LN_EPS = 1e-5
 # distinct dropout streams per (batch row, site)
@@ -63,7 +64,7 @@ def _dropout_mask(seed, b, salt, shape, dropout_p):
 
 
 def _apply_drop(val, keep, dropout_p):
-    return jnp.where(keep, val * (1.0 / (1.0 - dropout_p)), 0.0)
+    return jnp.where(keep, val * keep_scale_for(dropout_p, True), 0.0)
 
 
 def _ln_fwd(z, g, be):
@@ -231,7 +232,7 @@ def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, *rest,
             # positive value means kept AND h1 > 0 — exactly the positions
             # where the relu+dropout backward passes gradient
             h1_d = (jnp.maximum(h1.astype(jnp.float32), 0.0)
-                    * (1.0 / (1.0 - dropout_p))).astype(cdt)
+                    * keep_scale_for(dropout_p, True)).astype(cdt)
         else:
             h1_d = h1
         dy = dy_ref[r].astype(jnp.float32)                        # [D, T]
@@ -261,7 +262,7 @@ def _ffn_bwd_kernel(scalar_ref, x_ref, o_ref, *rest,
         # gradient passes exactly where the sign-encoded checkpoint is
         # positive (kept by dropout AND h1 > 0): relu and dropout backward
         # collapse into one select
-        scale_h = (1.0 / (1.0 - dropout_p)) if drop else 1.0
+        scale_h = keep_scale_for(dropout_p, True) if drop else 1.0
         dh1 = jnp.where(h1.astype(jnp.float32) > 0.0, dh1d * scale_h, 0.0)
         dh1_c = dh1.astype(cdt)
         db1 = jnp.sum(dh1, axis=1, keepdims=True)                 # [F, 1]

@@ -389,3 +389,36 @@ def test_int8_dq_dk_parity(monkeypatch):
         assert np.abs(v1 - v0).max() / scale < 0.05, key
         if v0.size > 1:
             assert np.corrcoef(v0.ravel(), v1.ravel())[0, 1] > 0.99, key
+
+
+@pytest.mark.parametrize("shape", [(128, 1152), (128, 1024), (6, 1152),
+                                   (125, 128)])
+def test_dropout_bits8_rate_and_replay(monkeypatch, shape):
+    """COMMU_DROPOUT_BITS=8 (quarter-width draws): the realized Bernoulli
+    rate must be exactly effective_dropout_p(p) = round(p*256)/256 on EVERY
+    shape path (quarter/half/full fallbacks compare wider draws against
+    width-scaled thresholds), replay must be deterministic per seed, and
+    keep_scale_for must divide by the realized rate."""
+    from commu_tpu.ops import fused_attention as fa
+
+    p = 0.1
+    monkeypatch.setenv("COMMU_DROPOUT_BITS", "8")
+    p_eff = fa.effective_dropout_p(p)
+    assert p_eff == 26 / 256
+    assert np.isclose(fa.keep_scale_for(p, True), 1.0 / (1.0 - 26 / 256))
+    assert fa.keep_scale_for(p, False) == 1.0
+
+    def draw(seed):
+        fa._prng_seed(seed)
+        return np.asarray(fa.random_keep(shape, p))
+
+    m1, m2, m3 = draw(7), draw(7), draw(8)
+    assert (m1 == m2).all()           # replay: same seed, same mask
+    assert (m1 != m3).any()           # seed-varying
+    # the interp-PRNG is a hash, not the chip generator, but uniform enough
+    # that the empirical rate lands near the quantized target
+    rate = 1.0 - m1.mean()
+    assert abs(rate - p_eff) < 0.01, (rate, p_eff)
+
+    monkeypatch.setenv("COMMU_DROPOUT_BITS", "16")
+    assert fa.effective_dropout_p(p) == round(p * 65536) / 65536

@@ -49,7 +49,10 @@ def _ln(z, g, be):
 def _replica(x, o, w1, b1, w2, b2, g1, be1, g2, be2):
     """Pure-jnp forward of the fused block, one batch row at a time, with the
     same hash masks the patched kernel uses."""
-    inv = 1.0 / (1.0 - P_DROP)
+    # the kernel's keep-scale divides by the REALIZED (width-quantized)
+    # dropout rate (fused_attention.keep_scale_for); the replica must match
+    from commu_tpu.ops.fused_attention import keep_scale_for
+    inv = keep_scale_for(P_DROP, True)
     ys = []
     for b in range(x.shape[0]):
         keep_o = _hash_mask(SEED, b, fused_ffn._SALT_O, (D, T), P_DROP)
@@ -121,7 +124,8 @@ def test_wrong_salt_would_fail(inputs, monkeypatch):
     def bad_replica_loss(*a):
         # identical to _replica except the f-site mask reuses the o salt
         x, o, w1, b1, w2, b2, g1, be1, g2, be2 = a
-        inv = 1.0 / (1.0 - P_DROP)
+        from commu_tpu.ops.fused_attention import keep_scale_for
+        inv = keep_scale_for(P_DROP, True)
         ys = []
         for b in range(x.shape[0]):
             keep_o = _hash_mask(SEED, b, fused_ffn._SALT_O, (D, T), P_DROP)

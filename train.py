@@ -33,11 +33,11 @@ def parse_args():
                    help="capture a jax.profiler trace of steps 4-10 into "
                         "work_dir/profile")
     p.add_argument("--precise_bd", action="store_true",
-                   help="compute the relative-position (BD) matmuls in bf16 "
-                        "instead of the int8 fast mode that training "
-                        "defaults to (parity-exact kernels; ~5 ms/step "
-                        "slower — see README kernel-knob table and "
-                        "CONVERGENCE_pallas.json / CONVERGENCE_bd_int8*.json "
+                   help="opt out of the fast-mode kernel defaults: bf16 "
+                        "relative-position (BD) matmuls instead of int8, "
+                        "and 16-bit dropout draws instead of 8-bit (~6 "
+                        "ms/step slower; see the README kernel-knob table "
+                        "and CONVERGENCE_{pallas,bd_int8_bwd,dropout8}.json "
                         "for the fast mode's training-quality evidence)")
     # Multi-host data parallelism (replaces the reference's
     # torch.distributed.launch + env:// rendezvous, train.py:361, README.md:80).
@@ -85,9 +85,14 @@ def main():
     if args.precise_bd:
         os.environ["COMMU_BD_INT8"] = "0"
         os.environ["COMMU_BD_INT8_BWD"] = "0"
+        os.environ["COMMU_DROPOUT_BITS"] = "16"
     else:
         os.environ.setdefault("COMMU_BD_INT8", "1")
         os.environ.setdefault("COMMU_BD_INT8_BWD", "1")
+        # 8-bit dropout draws (-1 ms/step): realized rate 26/256 = 0.1016
+        # at the reference 0.1 (keep-scales track the realized rate, so
+        # the estimator stays unbiased); CONVERGENCE_dropout8.json
+        os.environ.setdefault("COMMU_DROPOUT_BITS", "8")
     from commu_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
