@@ -326,7 +326,14 @@ def random_keep(shape, dropout_p):
             halves = jnp.concatenate([bits & jnp.uint32(0xFFFF),
                                       bits >> jnp.uint32(16)], axis=0)
             return halves >= (t8 << jnp.uint32(8))
-        return _prng_random_bits(shape) >= (t8 << jnp.uint32(24))
+        # compare on the MASKED high 16 bits: Mosaic lowers the 32-bit >=
+        # as a SIGNED compare, so an unmasked raw-draw comparison drops
+        # ~0.5+p instead of p on the chip (caught by scripts/verify_tpu.py
+        # check 5b; the tile-clean paths above are immune — every operand
+        # is masked into [0, 2^16) before comparing)
+        bits = _prng_random_bits(shape)
+        return ((bits >> jnp.uint32(16)) & jnp.uint32(0xFFFF)) \
+            >= (t8 << jnp.uint32(8))
     t16 = jnp.uint32(min(0xFFFF, round(dropout_p * 65536.0)))
     # concatenate the u32 HALF-VALUES, not the boolean comparisons — Mosaic
     # cannot concatenate i1 vregs ("Invalid vector register cast").  (The
@@ -344,8 +351,11 @@ def random_keep(shape, dropout_p):
         halves = jnp.concatenate([bits & jnp.uint32(0xFFFF),
                                   bits >> jnp.uint32(16)], axis=0)
         return halves >= t16
-    thresh = jnp.uint32(min(0xFFFFFFFF, round(dropout_p * 2.0 ** 32)))
-    return _prng_random_bits(shape) >= thresh
+    # masked high-16-bit compare for the same signed-lowering reason as the
+    # 8-bit full-width path above (rate t16/65536 — the same quantization
+    # as the half-width paths, so every 16-bit path realizes one rate)
+    bits = _prng_random_bits(shape)
+    return ((bits >> jnp.uint32(16)) & jnp.uint32(0xFFFF)) >= t16
 
 
 def _trig_combine(u, trig_a):

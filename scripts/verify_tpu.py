@@ -15,6 +15,9 @@ training divergence.  Checks:
    is bypassed off-TPU and was otherwise only validated by benchmarks)
 5. dropout prng    — on-device pltpu prng: deterministic per seed, actually
    drops (~p of activations), differs across seeds
+5b. 8-bit dropout  — COMMU_DROPOUT_BITS=8 fast mode on the chip PRNG:
+   realized rate exactly round(p*256)/256 (5-sigma), realized-rate
+   keep-scale, replay, on all three shape fallback paths
 6. bf16-vs-f32 NLL — 50-step training trajectories at the reference shape
    agree within bf16 tolerance (math: reference model.py:280-354)
 
@@ -225,6 +228,41 @@ def main():
     varies = float(np.mean(np.asarray(y1) != np.asarray(y3)))
     check("dropout_prng", det == 0.0 and varies > 0.5,
           replay_err=det, cross_seed_frac_diff=varies)
+
+    # ---- 5b. on-device 8-bit dropout draws (COMMU_DROPOUT_BITS=8) ------
+    # The quarter-width fast mode the training entry points default to:
+    # certify the REAL chip PRNG realizes exactly the 1/256-quantized rate
+    # with the realized-rate keep-scale, on the row-quarter, lane-quarter
+    # and full-width fallback shape paths (the unit test only runs the
+    # interpret-mode hash PRNG).
+    from commu_tpu.ops.dropout import SALT_EMB, dropout_bdt
+    from commu_tpu.ops.fused_attention import (effective_dropout_p,
+                                               keep_scale_for)
+    os.environ["COMMU_DROPOUT_BITS"] = "8"
+    try:
+        p8 = 0.1
+        p_eff = effective_dropout_p(p8)          # 26/256
+        scale8 = np.float32(keep_scale_for(p8, True))
+        ok8, stats8 = True, {}
+        for label, (bq, dq, tq) in (("row_quarter", (4, 500, 128)),
+                                    ("lane_quarter", (2, 500, 1024)),
+                                    ("full_width", (2, 125, 128))):
+            ones = jnp.ones((bq, dq, tq), jnp.float32)
+            ya = np.asarray(dropout_bdt(ones, 11, p8, SALT_EMB))
+            yb = np.asarray(dropout_bdt(ones, 11, p8, SALT_EMB))
+            yc = np.asarray(dropout_bdt(ones, 12, p8, SALT_EMB))
+            rate = float((ya == 0.0).mean())
+            kept_exact = bool(np.all((ya == 0.0) | (ya == scale8)))
+            # N >= 32k draws: 5-sigma band around the quantized rate
+            sigma = (p_eff * (1 - p_eff) / ya.size) ** 0.5
+            ok_path = ((ya == yb).all() and (ya != yc).any()
+                       and kept_exact and abs(rate - p_eff) < 5 * sigma)
+            ok8 = ok8 and bool(ok_path)
+            stats8[label] = round(rate, 5)
+        check("dropout_bits8", ok8, target_rate=round(p_eff, 5),
+              rates=stats8, keep_scale=float(scale8))
+    finally:
+        os.environ.pop("COMMU_DROPOUT_BITS", None)
 
     # ---- 6. bf16 vs f32 50-step NLL trajectory -------------------------
     from commu_tpu.config import (EvaluateConfig, TrainConfig, TrainingConfig)

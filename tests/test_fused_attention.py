@@ -422,3 +422,8 @@ def test_dropout_bits8_rate_and_replay(monkeypatch, shape):
 
     monkeypatch.setenv("COMMU_DROPOUT_BITS", "16")
     assert fa.effective_dropout_p(p) == round(p * 65536) / 65536
+    # the 16-bit full-width fallback compares the MASKED high half (raw
+    # 32-bit compares lower as signed on the chip — verify_tpu check 5b)
+    fa._prng_seed(7)
+    m16 = np.asarray(fa.random_keep((125, 128), p))
+    assert abs((1.0 - m16.mean()) - fa.effective_dropout_p(p)) < 0.01
