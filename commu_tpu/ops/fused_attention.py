@@ -566,6 +566,18 @@ def _defer_norm() -> bool:
     return os.environ.get("COMMU_DEFER_NORM", "0") == "1"
 
 
+def _scale_hoist() -> bool:
+    """COMMU_SCALE_HOIST=1 (probe lever): apply the dropout keep-scale to
+    the attention OUTPUT columns ([dh, T]) instead of the probability plane
+    ([T, K]) in the forward's non-deferred path, and derive the matmul
+    operand from the sign-encoded checkpoint (max(chk, 0)) — one [T, K]
+    select + max replaces two selects + a plane multiply.  The checkpoint
+    and the backward are untouched (chk stores UNSCALED probabilities in
+    both modes)."""
+    import os
+    return os.environ.get("COMMU_SCALE_HOIST", "0") == "1"
+
+
 def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
     """Softmax phase (VPU): (matmul operand, checkpoint value, col_scale).
 
@@ -574,8 +586,9 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
     normalized probabilities (or the raw exps under ``_defer_norm``).  The
     backward decodes the keep mask from the sign and never touches the PRNG.
     (A dropped v == 0 loses the sign, but the post-dropout probability there
-    is 0 either way.)  ``col_scale`` is None when normalization happened
-    in-plane, else the [T, 1] factor to fold into the output columns.
+    is 0 either way.)  ``col_scale`` is None when all scaling happened
+    in-plane, the [T, 1] normalizer under ``_defer_norm``, or a python
+    float (the hoisted keep-scale) under ``_scale_hoist``.
     """
     if _softmax_clamp():
         e = jnp.exp(jnp.minimum(s, 60.0))
@@ -605,8 +618,17 @@ def _attn_softmax(scalar_ref, s, b, h, *, t, k_len, dropout_p, train):
     if train and dropout_p > 0.0:
         _prng_seed(scalar_ref[0] + b * 4096 + h)
         keep = random_keep((t, k_len), dropout_p)
-        probs = jnp.where(keep, p_clean * keep_scale, 0.0)
         chk = jnp.where(keep, p_clean, -p_clean)
+        if _scale_hoist():
+            # fold the scalar keep-scale into the [dh, T] output instead of
+            # the [T, K] probability plane (K/dh ~ 23x less multiply
+            # volume), and reuse the checkpoint select for the operand —
+            # one select + max instead of two selects + a plane multiply.
+            # Mathematically identical ((s*P) @ v == s*(P @ v)); bit-level
+            # the scale now applies after the f32 matmul instead of before
+            # the bf16 operand cast.
+            return jnp.maximum(chk, 0.0), chk, keep_scale
+        probs = jnp.where(keep, p_clean * keep_scale, 0.0)
     else:
         probs = chk = p_clean
     return probs, chk, None
@@ -632,8 +654,13 @@ def _fwd_body(scalar_ref, q_ref, rwbs_ref, rrbs_ref, wr_ref, trig_ref,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [dh,T]
         if col_scale is not None:
-            # deferred normalization: row-scale of probs == col-scale of o
-            o = o * col_scale.reshape(1, t)
+            if isinstance(col_scale, float):
+                # hoisted scalar keep-scale (COMMU_SCALE_HOIST)
+                o = o * col_scale
+            else:
+                # deferred normalization: row-scale of probs == col-scale
+                # of o
+                o = o * col_scale.reshape(1, t)
         o_ref[rr, hh, :, :] = o.astype(o_ref.dtype)
         if e_ref is not None:
             # the VJP forward checkpoints the NORMALIZED probabilities with

@@ -427,3 +427,41 @@ def test_dropout_bits8_rate_and_replay(monkeypatch, shape):
     fa._prng_seed(7)
     m16 = np.asarray(fa.random_keep((125, 128), p))
     assert abs((1.0 - m16.mean()) - fa.effective_dropout_p(p)) < 0.01
+
+
+def test_scale_hoist_parity(monkeypatch):
+    """COMMU_SCALE_HOIST=1 (dropout keep-scale folded into the [dh, T]
+    output instead of the [T, K] probability plane) is mathematically
+    identical — same masks (same seeds), same checkpoint bits, scale
+    placement only — so loss and every gradient must agree to float
+    rounding."""
+    _, pal_model, params = _setup()
+    drop_cfg = dataclasses.replace(PAL_CFG, dropout=0.1,
+                                   attention_dropout=0.25)
+    drop_model = TransformerXL(VOCAB, drop_cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    tokens = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    targets = jnp.asarray(rng.randint(1, VOCAB, size=(3, T)))
+    memory = init_memory(N_LAYER, 3, M, D_MODEL)
+
+    def run():
+        def f(p):
+            logits, _ = drop_model.apply(
+                {"params": p}, tokens, memory, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(9)})
+            nll = token_nll(logits, targets)
+            return (nll * (targets != PAD_ID)).mean()
+        return jax.value_and_grad(f)(params)
+
+    monkeypatch.delenv("COMMU_SCALE_HOIST", raising=False)
+    l0, g0 = run()
+    monkeypatch.setenv("COMMU_SCALE_HOIST", "1")
+    l1, g1 = run()
+    assert np.isfinite(float(l0))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(g1)[0])
+    for path, v0 in flat0:
+        np.testing.assert_allclose(
+            np.asarray(flat1[path]), np.asarray(v0), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
