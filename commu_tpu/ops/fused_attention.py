@@ -573,7 +573,11 @@ def _scale_hoist() -> bool:
     operand from the sign-encoded checkpoint (max(chk, 0)) — one [T, K]
     select + max replaces two selects + a plane multiply.  The checkpoint
     and the backward are untouched (chk stores UNSCALED probabilities in
-    both modes)."""
+    both modes).  Measured NEUTRAL on v5e (five-round interleaved A/B at
+    the shipped int8/8-bit-dropout defaults: 87.10 vs 87.18 ms/step
+    median, inside the ±0.5 ms drift band) — the plane multiply it
+    removes was already hidden under the pipelined MXU work.  Default
+    OFF; kept for chips/shapes where the VPU softmax phase is exposed."""
     import os
     return os.environ.get("COMMU_SCALE_HOIST", "0") == "1"
 
